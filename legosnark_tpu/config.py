@@ -1,0 +1,37 @@
+"""Runtime configuration for the framework.
+
+The reference's config surface is compile-time CMake flags
+(`/root/reference/CMakeLists.txt:11-102`: CURVE, MULTICORE, VERBOSE...)
+plus argv sizes. Here it is a plain module: JAX persistent compilation
+cache (the 254-bit limb graphs are expensive to compile — cache them
+across processes), default MSM window sizes, and mesh helpers.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def setup_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache (idempotent)."""
+    path = path or os.environ.get(
+        "LEGOSNARK_CACHE", os.path.expanduser("~/.cache/legosnark_xla"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these options
+
+
+setup_cache()
+
+# Default Pippenger window size (bits) by MSM size; tuned on TPU v5e.
+def default_window(n: int) -> int:
+    if n <= (1 << 10):
+        return 8
+    if n <= (1 << 16):
+        return 10
+    return 13

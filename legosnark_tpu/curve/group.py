@@ -1,0 +1,252 @@
+"""Branchless elliptic-curve group law for TPU (G1 and G2).
+
+TPU-native replacement for libff's Jacobian add/double used throughout
+the reference's MSM inner loops (SURVEY §2.2: "G1/G2 Jacobian point
+add/double, mixed add"). Instead of translating libff's branchy Jacobian
+code, we use the Renes–Costello–Batina *complete* addition formulas for
+a=0 short-Weierstrass curves (eprint 2015/1060, Algorithms 7 & 9):
+one straight-line formula handles generic adds, doublings and the
+identity with zero data-dependent branches — exactly what a vector unit
+wants. Identity is the projective point (0 : 1 : 0).
+
+All functions are batched over leading axes and generic over the field
+via a `FieldOps` object, so the same code drives G1 (Fq) and G2 (Fq2).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb as fl
+from ..fields.ops import FqOps, Fq2Ops
+from . import bn254
+
+
+class Point(NamedTuple):
+    """Homogeneous projective point (X : Y : Z); identity = (0:1:0)."""
+
+    x: Any
+    y: Any
+    z: Any
+
+
+class CurveOps:
+    """Group-law ops for y^2 = x^3 + b over a FieldOps instance."""
+
+    def __init__(self, field, b):
+        self.F = field
+        self.b = b
+        b3 = field.add(b, field.add(b, b))
+        self.b3 = b3
+
+    # -- constructors ------------------------------------------------------
+    def identity(self, shape=()) -> Point:
+        F = self.F
+        return Point(F.zero(shape), F.one(shape), F.zero(shape))
+
+    def from_affine(self, x, y) -> Point:
+        F = self.F
+        return Point(x, y, F.one(F.batch_shape(x)))
+
+    def is_identity(self, p: Point):
+        return self.F.is_zero(p.z)
+
+    # -- group law ---------------------------------------------------------
+    def add(self, p: Point, q: Point) -> Point:
+        """Complete addition (RCB Algorithm 7, a=0)."""
+        F, b3 = self.F, self.b3
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t4 = F.sub(t4, F.add(t1, t2))
+        X3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+        Y3 = F.sub(X3, F.add(t0, t2))
+        X3 = F.add(t0, t0)
+        t0 = F.add(X3, t0)
+        t2 = F.mul(b3, t2)
+        Z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        Y3 = F.mul(b3, Y3)
+        X3 = F.mul(t4, Y3)
+        t2_ = F.mul(t3, t1)
+        X3 = F.sub(t2_, X3)
+        Y3 = F.mul(Y3, t0)
+        t1 = F.mul(t1, Z3)
+        Y3 = F.add(t1, Y3)
+        t0 = F.mul(t0, t3)
+        Z3 = F.mul(Z3, t4)
+        Z3 = F.add(Z3, t0)
+        return Point(X3, Y3, Z3)
+
+    def double(self, p: Point) -> Point:
+        """Complete doubling (RCB Algorithm 9, a=0)."""
+        F, b3 = self.F, self.b3
+        X, Y, Z = p
+        t0 = F.sqr(Y)
+        Z3 = F.add(t0, t0)
+        Z3 = F.add(Z3, Z3)
+        Z3 = F.add(Z3, Z3)
+        t1 = F.mul(Y, Z)
+        t2 = F.sqr(Z)
+        t2 = F.mul(b3, t2)
+        X3 = F.mul(t2, Z3)
+        Y3 = F.add(t0, t2)
+        Z3 = F.mul(t1, Z3)
+        t1 = F.add(t2, t2)
+        t2 = F.add(t1, t2)
+        t0 = F.sub(t0, t2)
+        Y3 = F.mul(t0, Y3)
+        Y3 = F.add(X3, Y3)
+        t1 = F.mul(X, Y)
+        X3 = F.mul(t0, t1)
+        X3 = F.add(X3, X3)
+        return Point(X3, Y3, Z3)
+
+    def neg(self, p: Point) -> Point:
+        return Point(p.x, self.F.neg(p.y), p.z)
+
+    def select(self, c, p: Point, q: Point) -> Point:
+        F = self.F
+        return Point(F.select(c, p.x, q.x), F.select(c, p.y, q.y),
+                     F.select(c, p.z, q.z))
+
+    def eq(self, p: Point, q: Point):
+        """Projective equality: X1 Z2 == X2 Z1 and Y1 Z2 == Y2 Z1 — plus
+        matching identity flags (identity only equals identity)."""
+        F = self.F
+        both_id = jnp.logical_and(self.is_identity(p), self.is_identity(q))
+        none_id = jnp.logical_and(
+            jnp.logical_not(self.is_identity(p)),
+            jnp.logical_not(self.is_identity(q)))
+        cross = jnp.logical_and(
+            F.eq(F.mul(p.x, q.z), F.mul(q.x, p.z)),
+            F.eq(F.mul(p.y, q.z), F.mul(q.y, p.z)))
+        return jnp.logical_or(both_id, jnp.logical_and(none_id, cross))
+
+    def on_curve(self, p: Point):
+        """Projective curve equation Y^2 Z == X^3 + b Z^3 (holds for identity)."""
+        F = self.F
+        lhs = F.mul(F.sqr(p.y), p.z)
+        rhs = F.add(F.mul(F.sqr(p.x), p.x), F.mul(self.b, F.mul(F.sqr(p.z), p.z)))
+        return F.eq(lhs, rhs)
+
+    def to_affine(self, p: Point):
+        """Normalize; identity maps to (0, 0) plus an identity mask."""
+        F = self.F
+        zinv = F.inv(p.z)
+        return F.mul(p.x, zinv), F.mul(p.y, zinv), self.is_identity(p)
+
+    # -- scalar multiplication --------------------------------------------
+    def scalar_mul(self, p: Point, k):
+        """[k]P for k an Fr element in canonical (non-Montgomery) limb
+        form [..., L]; batched. Double-and-add via lax.scan over all
+        scalar bits (MSB first) — one add+double body compiled."""
+        nbits = fl.LIMB_BITS * bn254.FR.nlimbs
+        # bit i of the scalar, MSB-first sequence
+        def body(acc, i):
+            bit_limb = k[..., (nbits - 1 - i) // fl.LIMB_BITS]
+            bit = (bit_limb >> ((nbits - 1 - i) % fl.LIMB_BITS)) & 1
+            acc = self.double(acc)
+            cand = self.add(acc, p)
+            acc = self.select(bit > 0, cand, acc)
+            return acc, None
+
+        init = self.identity(self.F.batch_shape(p.x))
+        acc, _ = jax.lax.scan(body, init, jnp.arange(nbits))
+        return acc
+
+    # -- reductions --------------------------------------------------------
+    def sum_reduce(self, p: Point) -> Point:
+        """Tree-sum of a batch of points along axis 0 -> single point."""
+        n = p.x.shape[0]
+        while n > 1:
+            half = n // 2
+            even = Point(p.x[: 2 * half : 2], p.y[: 2 * half : 2],
+                         p.z[: 2 * half : 2])
+            odd = Point(p.x[1 : 2 * half : 2], p.y[1 : 2 * half : 2],
+                        p.z[1 : 2 * half : 2])
+            s = self.add(even, odd)
+            if n % 2:
+                s = Point(
+                    jnp.concatenate([s.x, p.x[-1:]], 0),
+                    jnp.concatenate([s.y, p.y[-1:]], 0),
+                    jnp.concatenate([s.z, p.z[-1:]], 0))
+            p = s
+            n = (n + 1) // 2
+        return Point(p.x[0], p.y[0], p.z[0])
+
+
+# ---------------------------------------------------------------------------
+# Concrete curves
+# ---------------------------------------------------------------------------
+
+_fq = FqOps(bn254.FQ)
+_fq2 = Fq2Ops(_fq)
+
+G1 = CurveOps(_fq, _fq.const(bn254.B_G1))
+G2 = CurveOps(_fq2, _fq2.const(bn254.B_G2))
+
+FQ_OPS = _fq
+FQ2_OPS = _fq2
+FR_OPS = FqOps(bn254.FR)
+
+
+def g1_generator(shape=()) -> Point:
+    x = jnp.broadcast_to(_fq.const(bn254.G1_GEN[0]),
+                         tuple(shape) + _fq.suffix)
+    y = jnp.broadcast_to(_fq.const(bn254.G1_GEN[1]),
+                         tuple(shape) + _fq.suffix)
+    return G1.from_affine(x, y)
+
+
+def g2_generator(shape=()) -> Point:
+    x = jnp.broadcast_to(_fq2.const(bn254.G2_GEN_X),
+                         tuple(shape) + _fq2.suffix)
+    y = jnp.broadcast_to(_fq2.const(bn254.G2_GEN_Y),
+                         tuple(shape) + _fq2.suffix)
+    return G2.from_affine(x, y)
+
+
+def g1_to_oracle(p: Point):
+    """Single G1 point -> python int affine pair or None (for tests)."""
+    x, y, is_id = G1.to_affine(p)
+    if bool(np.asarray(is_id)):
+        return None
+    return (_fq.to_int(x), _fq.to_int(y))
+
+
+def g2_to_oracle(p: Point):
+    x, y, is_id = G2.to_affine(p)
+    if bool(np.asarray(is_id)):
+        return None
+    return (_fq2.to_ints(x), _fq2.to_ints(y))
+
+
+def g1_from_oracle(pts) -> Point:
+    """List of (x, y) int pairs / None -> batched Point."""
+    xs, ys, zs = [], [], []
+    for p in pts:
+        if p is None:
+            xs.append(0); ys.append(1); zs.append(0)
+        else:
+            xs.append(p[0]); ys.append(p[1]); zs.append(1)
+    return Point(_fq.from_ints(xs), _fq.from_ints(ys), _fq.from_ints(zs))
+
+
+def g2_from_oracle(pts) -> Point:
+    xs, ys, zs = [], [], []
+    for p in pts:
+        if p is None:
+            xs.append((0, 0)); ys.append((1, 0)); zs.append((0, 0))
+        else:
+            xs.append(p[0]); ys.append(p[1]); zs.append((1, 0))
+    return Point(_fq2.from_int_pairs(xs), _fq2.from_int_pairs(ys),
+                 _fq2.from_int_pairs(zs))

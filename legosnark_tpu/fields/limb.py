@@ -1,0 +1,390 @@
+"""Vectorized multi-limb modular arithmetic for TPU.
+
+This is the L0 compute substrate of the framework: the TPU-native
+re-implementation of the role libff's Fp model plays for the reference
+(`/root/reference/src/utils/globl.h:25-31` aliases `LFr`/`LG1`... onto
+libff BN128 types; every hot loop in the reference bottoms out in
+Montgomery field muls inside libff).
+
+Design (TPU-first, not a translation):
+
+* A field element is a little-endian vector of ``NLIMB`` 13-bit limbs
+  stored in a ``uint32`` array with trailing axis ``NLIMB``. All
+  operations are batched over arbitrary leading axes and are pure
+  ``jnp`` programs (jit/vmap/shard_map-compatible, no Python branches
+  on data).
+* 13-bit limbs are chosen so a full schoolbook product column
+  (<= NLIMB products of 26 bits each) accumulates inside uint32 without
+  overflow: NLIMB * (2^13-1)^2 < 2^31 for NLIMB <= 32. TPU has no
+  64-bit integer units, so this keeps every op on the 32-bit VPU.
+* Montgomery arithmetic with R = 2^(13*NLIMB). Carry normalization is
+  branchless: three magnitude-reduction passes bring every limb into
+  [0, 2^13], then a Kogge-Stone carry-lookahead (log2 NLIMB steps)
+  resolves residual carry chains exactly.
+
+Nothing here is specific to BN254; `FieldSpec` works for any odd
+modulus below 13*NLIMB bits.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 13
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_limbs(x: int, nlimbs: int) -> np.ndarray:
+    """Little-endian 13-bit limb decomposition of a Python int."""
+    if x < 0:
+        raise ValueError("negative")
+    out = np.zeros((nlimbs,), dtype=np.uint32)
+    for i in range(nlimbs):
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+    if x:
+        raise ValueError("int does not fit in limbs")
+    return out
+
+
+def limbs_to_int(v) -> int:
+    """Python int from a single little-endian limb vector."""
+    v = np.asarray(v)
+    x = 0
+    for i in range(v.shape[-1] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(v[i])
+    return x
+
+
+def limbs_to_ints(v) -> np.ndarray:
+    """Batched limbs -> array of Python ints (object dtype)."""
+    v = np.asarray(v)
+    flat = v.reshape(-1, v.shape[-1])
+    out = np.empty((flat.shape[0],), dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = limbs_to_int(flat[i])
+    return out.reshape(v.shape[:-1])
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static (trace-time) description of a prime field."""
+
+    p: int
+    nlimbs: int
+    name: str = "F"
+
+    @property
+    def bits(self) -> int:
+        return self.p.bit_length()
+
+    @property
+    def R(self) -> int:
+        return 1 << (LIMB_BITS * self.nlimbs)
+
+    @functools.cached_property
+    def R2(self) -> int:
+        return (self.R * self.R) % self.p
+
+    @functools.cached_property
+    def ninv(self) -> int:
+        # -p^{-1} mod R
+        return (-pow(self.p, -1, self.R)) % self.R
+
+    # --- constant limb arrays (host numpy; become jnp constants on trace) ---
+    @functools.cached_property
+    def p_limbs(self):
+        return int_to_limbs(self.p, self.nlimbs)
+
+    @functools.cached_property
+    def p_comp_limbs(self):
+        # (R - 1) - p, used for branchless compare / subtract
+        return int_to_limbs(self.R - 1 - self.p, self.nlimbs)
+
+    @functools.cached_property
+    def r2_limbs(self):
+        return int_to_limbs(self.R2, self.nlimbs)
+
+    @functools.cached_property
+    def ninv_limbs(self):
+        return int_to_limbs(self.ninv, self.nlimbs)
+
+    @functools.cached_property
+    def one_mont(self):
+        # R mod p == Montgomery form of 1
+        return int_to_limbs(self.R % self.p, self.nlimbs)
+
+    @functools.cached_property
+    def zero_limbs(self):
+        return np.zeros((self.nlimbs,), dtype=np.uint32)
+
+    def to_mont_int(self, x: int) -> np.ndarray:
+        return int_to_limbs((x % self.p) * self.R % self.p, self.nlimbs)
+
+    def from_mont_limbs(self, v) -> int:
+        return limbs_to_int(np.asarray(v)) * pow(self.R, -1, self.p) % self.p
+
+
+# ---------------------------------------------------------------------------
+# carry normalization
+# ---------------------------------------------------------------------------
+
+
+def _carry_exact(x, nout: int):
+    """Exact branchless carry normalization.
+
+    ``x``: uint32 columns, each < 2^31, little-endian over the trailing
+    axis. Returns ``nout`` canonical 13-bit limbs; any carry out of the
+    top limb is dropped (callers must size ``nout`` so the true value
+    fits, except in intentionally mod-R contexts).
+
+    Three magnitude passes bring limbs into [0, 2^13]; a Kogge-Stone
+    generate/propagate sweep then resolves the remaining +-1 chains in
+    log2 steps. Total depth ~9 vector ops instead of an nout-step scan.
+    """
+    k = x.shape[-1]
+    if k < nout:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nout - k)]
+        x = jnp.pad(x, pad)
+    elif k > nout:
+        # caller explicitly truncates (mod R)
+        x = x[..., :nout]
+
+    def pass_once(v):
+        c = v >> LIMB_BITS
+        v = v & LIMB_MASK
+        c = jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        return v + c
+
+    # after 3 passes every limb is in [0, 2^13]
+    x = pass_once(pass_once(pass_once(x)))
+
+    # Kogge-Stone carry lookahead over {generate, propagate}
+    g = (x >> LIMB_BITS).astype(jnp.uint32)      # limb == 2^13 -> generate
+    pr = (x == LIMB_MASK).astype(jnp.uint32)     # limb == mask -> propagate
+    shift = 1
+    while shift < nout:
+        g_prev = jnp.pad(g, [(0, 0)] * (g.ndim - 1) + [(shift, 0)])[..., :nout]
+        p_prev = jnp.pad(pr, [(0, 0)] * (g.ndim - 1) + [(shift, 0)])[..., :nout]
+        g = g | (pr & g_prev)
+        pr = pr & p_prev
+        shift *= 2
+    # carry INTO limb i is the lookahead carry OUT of limb i-1
+    cin = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+    return (x + cin) & LIMB_MASK
+
+
+def _carry_with_out(x, nout: int):
+    """Like _carry_exact but also returns the 0/1 carry out of limb nout-1."""
+    y = _carry_exact(x, nout + 1)
+    return y[..., :nout], y[..., nout]
+
+
+# ---------------------------------------------------------------------------
+# limb-vector multiplication (schoolbook convolution)
+# ---------------------------------------------------------------------------
+
+
+def _conv_full(a, b):
+    """Full product columns: out[..., k] = sum_{i+j=k} a_i * b_j.
+
+    Inputs are canonical 13-bit limb vectors [..., L]; output [..., 2L-1]
+    columns each < L * 2^26 < 2^31.
+    """
+    L = a.shape[-1]
+    out = jnp.zeros(a.shape[:-1] + (2 * L - 1,), dtype=jnp.uint32)
+    for i in range(L):
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, i, L, axis=-1)
+            + a[..., i : i + 1] * b,
+            i,
+            axis=-1,
+        )
+    return out
+
+
+def _conv_lo(a, b, L: int):
+    """Truncated product columns k < L (mod R context)."""
+    out = jnp.zeros(a.shape[:-1] + (L,), dtype=jnp.uint32)
+    for i in range(L):
+        w = L - i
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, i, w, axis=-1)
+            + a[..., i : i + 1] * b[..., :w],
+            i,
+            axis=-1,
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field ops (functions of (spec, arrays)); spec is static under jit
+# ---------------------------------------------------------------------------
+
+
+def _const(spec_arr, like):
+    """Broadcast a host constant limb vector against a batched array."""
+    c = jnp.asarray(spec_arr)
+    return jnp.broadcast_to(c, like.shape[:-1] + c.shape)
+
+
+def cond_sub_p(spec: FieldSpec, x):
+    """x - p if x >= p else x  (x < 2p)."""
+    L = spec.nlimbs
+    s = x + _const(spec.p_comp_limbs, x) + jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), jnp.zeros_like(x[..., 1:])], axis=-1)
+    red, cout = _carry_with_out(s, L)
+    geq = (cout > 0)[..., None]
+    return jnp.where(geq, red, x)
+
+
+def add(spec: FieldSpec, a, b):
+    s = _carry_exact(a + b, spec.nlimbs)  # a+b < 2p < R, no top overflow
+    return cond_sub_p(spec, s)
+
+
+def neg(spec: FieldSpec, a):
+    """p - a for a in [0, p); maps 0 -> p, fixed by cond_sub."""
+    L = spec.nlimbs
+    comp = _const(spec.p_limbs, a) + (LIMB_MASK - a) + jnp.concatenate(
+        [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])], axis=-1)
+    # carry out of limb L-1 is guaranteed (p >= a); drop it via mod-R carry
+    r = _carry_exact(comp, L)
+    return cond_sub_p(spec, r)
+
+
+def sub(spec: FieldSpec, a, b):
+    return add(spec, a, neg(spec, b))
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product a*b*R^-1 mod p, for canonical a, b < p."""
+    L = spec.nlimbs
+    t = _carry_exact(_conv_full(a, b), 2 * L)          # a*b, 13-bit limbs
+    m = _carry_exact(_conv_lo(t[..., :L], _const(spec.ninv_limbs, t), L), L)
+    u = _conv_full(m, _const(spec.p_limbs, m))         # m*p columns
+    u = jnp.pad(u, [(0, 0)] * (u.ndim - 1) + [(0, 1)]) + t
+    u = _carry_exact(u, 2 * L)                         # low L limbs == 0
+    res = u[..., L:]
+    return cond_sub_p(spec, res)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, x):
+    return mont_mul(spec, x, _const(spec.r2_limbs, x))
+
+
+def from_mont(spec: FieldSpec, x):
+    one = np.zeros((spec.nlimbs,), dtype=np.uint32)
+    one[0] = 1
+    return mont_mul(spec, x, _const(one, x))
+
+
+def zero(spec: FieldSpec, shape=()):
+    return jnp.zeros(tuple(shape) + (spec.nlimbs,), dtype=jnp.uint32)
+
+
+def one(spec: FieldSpec, shape=()):
+    return jnp.broadcast_to(
+        jnp.asarray(spec.one_mont), tuple(shape) + (spec.nlimbs,)
+    ).astype(jnp.uint32)
+
+
+def is_zero(spec: FieldSpec, a):
+    """Boolean mask [...,] — canonical representation is unique."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond, a, b):
+    """cond ? a : b with cond shaped [...] and a,b limb arrays [..., L]."""
+    return jnp.where(cond[..., None], a, b)
+
+
+def mont_pow(spec: FieldSpec, a, e: int):
+    """a^e for a static Python-int exponent.
+
+    Square-and-multiply driven by a `lax.scan` over the (static) bit
+    string: the compiled graph contains ONE sqr+mul body regardless of
+    exponent length — unrolling 254 Montgomery muls would explode XLA
+    compile time on the host.
+    """
+    if e == 0:
+        return one(spec, a.shape[:-1])
+    bits = jnp.asarray(
+        np.array([int(c) for c in bin(e)[3:]], dtype=np.uint32))
+    if bits.shape[0] == 0:
+        return a
+
+    def body(acc, bit):
+        acc = mont_sqr(spec, acc)
+        acc = select(bit > 0, mont_mul(spec, acc, a), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, a, bits)
+    return acc
+
+
+def inv(spec: FieldSpec, a):
+    """Batched inverse via Fermat (a^(p-2)); inv(0) = 0."""
+    return mont_pow(spec, a, spec.p - 2)
+
+
+def batch_inv_scan(spec: FieldSpec, a):
+    """Montgomery batch inversion over the leading axis (n elements, one
+    field inv + 3n muls). Zeros map to zero. Sequential over n — use for
+    moderate n on host-side paths; `inv` is the fully-parallel variant."""
+    n = a.shape[0]
+    zmask = is_zero(spec, a)
+    a_safe = select(zmask, one(spec, a.shape[:-1]), a)
+
+    def fwd(carry, x):
+        nxt = mont_mul(spec, carry, x)
+        return nxt, carry
+
+    total, prefixes = jax.lax.scan(fwd, one(spec, a.shape[1:-1]), a_safe)
+    total_inv = inv(spec, total)
+
+    def bwd(carry, xs):
+        x, prefix = xs
+        out = mont_mul(spec, carry, prefix)
+        nxt = mont_mul(spec, carry, x)
+        return nxt, out
+
+    _, invs = jax.lax.scan(bwd, total_inv, (a_safe, prefixes), reverse=True)
+    return select(zmask, zero(spec, a.shape[:-1]), invs)
+
+
+def get_window(spec: FieldSpec, x, start_bit: int, width: int):
+    """Extract bits [start_bit, start_bit+width) of canonical limbs as
+    uint32. width <= 19 so the window spans at most 2 limbs... (13-bit
+    limbs: a window can span ceil((width+12)/13) limbs; we support
+    width <= 13 spanning two limbs, enough for MSM digits)."""
+    assert width <= LIMB_BITS
+    L = spec.nlimbs
+    limb = start_bit // LIMB_BITS
+    off = start_bit % LIMB_BITS
+    lo = x[..., limb] >> off
+    if limb + 1 < L:
+        hi = x[..., limb + 1] << (LIMB_BITS - off) if off else jnp.zeros_like(lo)
+    else:
+        hi = jnp.zeros_like(lo)
+    return (lo | hi) & ((1 << width) - 1)
+
+
+def num_windows(spec: FieldSpec, width: int) -> int:
+    return -(-spec.bits // width)

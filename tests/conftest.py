@@ -1,0 +1,19 @@
+"""Test configuration: force a deterministic 8-device CPU mesh.
+
+Multi-chip logic is validated the standard JAX way (SURVEY §4): a
+virtual CPU mesh via --xla_force_host_platform_device_count, no pod
+required. Benchmarks (bench.py) run on real TPU instead.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import legosnark_tpu.config  # noqa: E402,F401  (enables XLA compile cache)

@@ -1,0 +1,113 @@
+"""Limb-engine field arithmetic vs Python bigints (bit-exact)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from legosnark_tpu.fields import limb as fl
+from legosnark_tpu.curve.bn254 import FQ, FR, Q, R
+
+RNG = np.random.default_rng(1234)
+
+
+def rand_ints(spec, n):
+    return [int(RNG.integers(0, 1 << 63)) ** 4 % spec.p for _ in range(n)]
+
+
+def to_limbs_batch(spec, xs):
+    return jnp.asarray(np.stack([fl.int_to_limbs(x, spec.nlimbs) for x in xs]))
+
+
+@pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
+def test_roundtrip(spec):
+    xs = rand_ints(spec, 8) + [0, 1, spec.p - 1]
+    v = to_limbs_batch(spec, xs)
+    back = fl.limbs_to_ints(np.asarray(v))
+    assert list(back) == xs
+
+
+@pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
+def test_add_sub_neg(spec):
+    xs = rand_ints(spec, 16) + [0, 0, 1, spec.p - 1]
+    ys = rand_ints(spec, 16) + [0, spec.p - 1, spec.p - 1, spec.p - 1]
+    a, b = to_limbs_batch(spec, xs), to_limbs_batch(spec, ys)
+    add = fl.limbs_to_ints(np.asarray(jax.jit(fl.add, static_argnums=0)(spec, a, b)))
+    sub = fl.limbs_to_ints(np.asarray(jax.jit(fl.sub, static_argnums=0)(spec, a, b)))
+    ng = fl.limbs_to_ints(np.asarray(jax.jit(fl.neg, static_argnums=0)(spec, b)))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        assert int(add[i]) == (x + y) % spec.p
+        assert int(sub[i]) == (x - y) % spec.p
+        assert int(ng[i]) == (-y) % spec.p
+
+
+@pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
+def test_mont_mul(spec):
+    xs = rand_ints(spec, 24) + [0, 1, spec.p - 1, spec.p - 1]
+    ys = rand_ints(spec, 24) + [spec.p - 1, 1, spec.p - 1, 0]
+    Rm = spec.R % spec.p
+    a = jnp.asarray(np.stack([spec.to_mont_int(x) for x in xs]))
+    b = jnp.asarray(np.stack([spec.to_mont_int(y) for y in ys]))
+    out = np.asarray(jax.jit(fl.mont_mul, static_argnums=0)(spec, a, b))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        assert spec.from_mont_limbs(out[i]) == x * y % spec.p
+
+
+@pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
+def test_to_from_mont(spec):
+    xs = rand_ints(spec, 8) + [0, 1, spec.p - 1]
+    a = to_limbs_batch(spec, xs)
+    m = jax.jit(fl.to_mont, static_argnums=0)(spec, a)
+    back = np.asarray(jax.jit(fl.from_mont, static_argnums=0)(spec, m))
+    assert [fl.limbs_to_int(r) for r in back] == xs
+
+
+def test_inv():
+    xs = rand_ints(FR, 6) + [1, R - 1]
+    a = jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
+    out = np.asarray(jax.jit(fl.inv, static_argnums=0)(FR, a))
+    for i, x in enumerate(xs):
+        assert FR.from_mont_limbs(out[i]) == pow(x, -1, R)
+    # inv(0) == 0 convention
+    z = fl.zero(FR, (1,))
+    assert fl.limbs_to_int(np.asarray(fl.inv(FR, z))[0]) == 0
+
+
+def test_batch_inv_scan():
+    xs = rand_ints(FR, 5) + [0, 1]
+    a = jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
+    out = np.asarray(fl.batch_inv_scan(FR, a))
+    for i, x in enumerate(xs):
+        expect = pow(x, -1, R) if x else 0
+        assert FR.from_mont_limbs(out[i]) == expect
+
+
+def test_carry_worst_case_chains():
+    """Adversarial carry/borrow chains (all-MASK limbs etc.)."""
+    L = FR.nlimbs
+    # x = p-1, add 1 -> 0 mod p
+    a = to_limbs_batch(FR, [FR.p - 1])
+    b = to_limbs_batch(FR, [1])
+    s = np.asarray(fl.add(FR, a, b))
+    assert fl.limbs_to_int(s[0]) == 0
+    # value with long runs of MASK limbs
+    chain = (1 << (13 * (L - 1))) - 1  # limbs: MASK * (L-1)
+    x = chain % FR.p
+    y = (FR.p - chain) % FR.p
+    s2 = np.asarray(fl.add(FR, to_limbs_batch(FR, [x]), to_limbs_batch(FR, [y])))
+    assert fl.limbs_to_int(s2[0]) == 0
+
+
+def test_get_window():
+    x = rand_ints(FR, 1)[0]
+    a = to_limbs_batch(FR, [x])
+    for start, width in [(0, 13), (5, 13), (13, 8), (251, 3), (247, 7)]:
+        w = int(np.asarray(fl.get_window(FR, a, start, width))[0])
+        assert w == (x >> start) & ((1 << width) - 1)
+
+
+def test_mont_pow():
+    x = rand_ints(FR, 1)[0]
+    a = jnp.asarray(np.stack([FR.to_mont_int(x)]))
+    for e in [0, 1, 2, 5, 1 << 20, R - 2]:
+        out = np.asarray(fl.mont_pow(FR, a, e))
+        assert FR.from_mont_limbs(out[0]) == pow(x, e, R)
