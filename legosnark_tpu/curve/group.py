@@ -215,19 +215,62 @@ def g2_generator(shape=()) -> Point:
     return G2.from_affine(x, y)
 
 
+@jax.jit
+def _g1_affine(p: Point):
+    return G1.to_affine(p)
+
+
+@jax.jit
+def _g2_affine(p: Point):
+    return G2.to_affine(p)
+
+
 def g1_to_oracle(p: Point):
     """Single G1 point -> python int affine pair or None (for tests)."""
-    x, y, is_id = G1.to_affine(p)
+    x, y, is_id = _g1_affine(p)
     if bool(np.asarray(is_id)):
         return None
     return (_fq.to_int(x), _fq.to_int(y))
 
 
+def g1_to_oracle_batch(p: Point):
+    """Batched [n, ...] G1 points -> list of int pairs / None. One jitted
+    affine conversion for the whole batch (eager per-point conversion is
+    pathologically slow on the limb engine)."""
+    x, y, is_id = _g1_affine(p)
+    x, y, is_id = np.asarray(x), np.asarray(y), np.asarray(is_id)
+    out = []
+    for i in range(x.shape[0]):
+        if is_id[i]:
+            out.append(None)
+        else:
+            out.append((_fq.spec.from_mont_limbs(x[i]),
+                        _fq.spec.from_mont_limbs(y[i])))
+    return out
+
+
 def g2_to_oracle(p: Point):
-    x, y, is_id = G2.to_affine(p)
+    x, y, is_id = _g2_affine(p)
     if bool(np.asarray(is_id)):
         return None
     return (_fq2.to_ints(x), _fq2.to_ints(y))
+
+
+def g2_to_oracle_batch(p: Point):
+    x, y, is_id = _g2_affine(p)
+    x, y, is_id = np.asarray(x), np.asarray(y), np.asarray(is_id)
+    out = []
+    for i in range(x.shape[0]):
+        if is_id[i]:
+            out.append(None)
+        else:
+            out.append((
+                (_fq.spec.from_mont_limbs(x[i, 0]),
+                 _fq.spec.from_mont_limbs(x[i, 1])),
+                (_fq.spec.from_mont_limbs(y[i, 0]),
+                 _fq.spec.from_mont_limbs(y[i, 1])),
+            ))
+    return out
 
 
 def g1_from_oracle(pts) -> Point:

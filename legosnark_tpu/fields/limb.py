@@ -247,6 +247,7 @@ def cond_sub_p(spec: FieldSpec, x):
 
 
 def add(spec: FieldSpec, a, b):
+    a, b = jnp.broadcast_arrays(a, b)
     s = _carry_exact(a + b, spec.nlimbs)  # a+b < 2p < R, no top overflow
     return cond_sub_p(spec, s)
 
@@ -268,6 +269,7 @@ def sub(spec: FieldSpec, a, b):
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product a*b*R^-1 mod p, for canonical a, b < p."""
     L = spec.nlimbs
+    a, b = jnp.broadcast_arrays(a, b)
     t = _carry_exact(_conv_full(a, b), 2 * L)          # a*b, 13-bit limbs
     m = _carry_exact(_conv_lo(t[..., :L], _const(spec.ninv_limbs, t), L), L)
     u = _conv_full(m, _const(spec.p_limbs, m))         # m*p columns
