@@ -1,0 +1,195 @@
+"""Multi-scalar multiplication (MSM) — the north-star kernel.
+
+TPU-native replacement for libff's Pippenger paths used by the
+reference: `multiExp`/`multiExpMA` (`/root/reference/src/utils/globl.h:47-78`),
+the sparse wrappers (`/root/reference/src/utils/sparsemexp.{h,cc}`) and
+the fixed-base `simpleBatchExp`/window-table machinery
+(`/root/reference/src/utils/util.h:119-134`,
+`/root/reference/src/prototools/interp.h:36-59`).
+
+Classic Pippenger accumulates each point into one of 2^c buckets per
+window — a serial scatter-add, hostile to XLA. The TPU formulation here
+replaces the bucket phase with *sort + suffix-scan*:
+
+  for each window j (digit d_i of scalar k_i):
+    1. sort points by digit                       (XLA sort, n log n u32)
+    2. suffix sums  S[i] = sum_{t>=i} P_sorted[t] (associative_scan of the
+       complete group law — log-depth, ~2n point-adds of vector work)
+    3. window sum  = sum_{t=1}^{2^c-1} S[first index with digit >= t]
+       — the standard identity  sum_b b*B_b = sum_t sum_{b>=t} B_b,
+       realized as a searchsorted-gather plus a c-level tree reduction.
+
+Everything is branchless (complete addition handles identity/doubling
+cases), statically shaped, and batched — jit/shard_map friendly. With
+c = 13 a window is exactly one 13-bit limb of the scalar, so digit
+extraction is a plain column read.
+
+Scalars are canonical (non-Montgomery) Fr limb vectors [n, L]; points
+are projective `Point` batches. The same code serves G1 and G2 (the
+group law is generic over the field ops).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb as fl
+from .group import Point, CurveOps
+from . import bn254
+
+
+def point_index(p: Point, idx) -> Point:
+    """Gather points along the leading axis."""
+    return Point(p.x[idx], p.y[idx], p.z[idx])
+
+
+def _num_windows(bits: int, c: int) -> int:
+    return -(-bits // c)
+
+
+def _all_digits(spec: fl.FieldSpec, scalars, c: int):
+    """[W, n] uint32 digit matrix from canonical scalars [n, L]."""
+    bits = fl.LIMB_BITS * spec.nlimbs
+    W = _num_windows(bits, c)
+    if c == fl.LIMB_BITS:
+        return jnp.moveaxis(scalars, -1, 0)
+    cols = [fl.get_window(spec, scalars, j * c, c) for j in range(W)]
+    return jnp.stack(cols, axis=0)
+
+
+def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
+    """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window."""
+    n = d.shape[0]
+    order = jnp.argsort(d)
+    d_sorted = d[order]
+    ps = point_index(points, order)
+
+    # inclusive suffix sums of sorted points (log-depth group-law scan)
+    suf = jax.lax.associative_scan(C.add, ps, reverse=True, axis=0)
+
+    # sum_t (sum over points with digit >= t), t = 1 .. 2^c - 1
+    ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
+    idx = jnp.searchsorted(d_sorted, ts, side="left")
+    safe = jnp.minimum(idx, n - 1)
+    gathered = point_index(suf, safe)
+    gathered = C.select(idx < n, gathered, C.identity((ts.shape[0],)))
+    return C.sum_reduce(gathered)
+
+
+def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
+        fr_spec: fl.FieldSpec = bn254.FR) -> Point:
+    """Variable-base MSM: sum_i scalars_i * points_i.
+
+    `scalars`: canonical Fr limbs [n, L]. `points`: Point batch [n].
+    Returns a single projective Point. Fully jittable; static shapes.
+    Window size defaults to `config.default_window(n)` (override with
+    the LEGOSNARK_MSM_C env var — tests use a small window so the
+    bucket phase stays cheap on the CPU mesh).
+    """
+    if c is None:
+        from .. import config
+        import os
+        env = os.environ.get("LEGOSNARK_MSM_C")
+        c = int(env) if env else config.default_window(scalars.shape[0])
+    assert 1 <= c <= fl.LIMB_BITS
+    digits = _all_digits(fr_spec, scalars, c)  # [W, n]
+
+    window_fn = functools.partial(_window_sum, C, points, c=c)
+    S = jax.lax.map(window_fn, digits)  # Point stacked over W windows
+
+    # Horner combine from the most significant window down:
+    # acc = ((S_{W-1} * 2^c + S_{W-2}) * 2^c + ...) + S_0
+    S_rev = jax.tree.map(lambda x: x[::-1], S)
+
+    def horner(acc, s):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: C.double(a), acc)
+        return C.add(acc, s), None
+
+    acc, _ = jax.lax.scan(horner, C.identity(()), S_rev)
+    return acc
+
+
+def msm_mont(C: CurveOps, points: Point, scalars_mont, c: int | None = None,
+             fr_spec: fl.FieldSpec = bn254.FR) -> Point:
+    """MSM with Montgomery-form Fr scalars (converts once, then `msm`)."""
+    return msm(C, points, fl.from_mont(fr_spec, scalars_mont), c=c,
+               fr_spec=fr_spec)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batched scalar multiplication (keygen path)
+# ---------------------------------------------------------------------------
+
+
+def fixed_base_table(C: CurveOps, base: Point, c: int = 8,
+                     bits: int = fl.LIMB_BITS * bn254.FR.nlimbs) -> Point:
+    """Window table T[j, m] = m * 2^(c*j) * base, shape [W, 2^c].
+
+    The TPU equivalent of libff's `get_window_table`
+    (`/root/reference/src/utils/util.h:130`). Built once per base;
+    reused by `batch_scalar_mul` for arbitrarily many scalars.
+    """
+    W = _num_windows(bits, c)
+
+    # Q_j = 2^(c*j) * base, via c doublings per step of a scan
+    def step(q, _):
+        nxt = q
+        for _ in range(c):
+            nxt = C.double(nxt)
+        return nxt, q
+
+    _, Qs = jax.lax.scan(step, base, None, length=W)  # [W] points
+
+    # row j: inclusive prefix scan of 2^c copies of Q_j with an identity
+    # in slot 0 -> [identity, Q, 2Q, ..., (2^c-1) Q]
+    reps = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None], (W, (1 << c) - 1) + x.shape[1:]),
+        Qs)
+    scanned = jax.lax.associative_scan(C.add, reps, axis=1)
+    ident = C.identity((W, 1))
+    return Point(
+        jnp.concatenate([ident.x, scanned.x], axis=1),
+        jnp.concatenate([ident.y, scanned.y], axis=1),
+        jnp.concatenate([ident.z, scanned.z], axis=1),
+    )
+
+
+def batch_scalar_mul(C: CurveOps, table: Point, scalars, c: int = 8,
+                     fr_spec: fl.FieldSpec = bn254.FR) -> Point:
+    """[k_i * base for each scalar] using a `fixed_base_table`.
+
+    The TPU equivalent of libff `batch_exp`
+    (`/root/reference/src/utils/util.h:131-133`): per scalar, gather one
+    table point per window and tree-add the W windows — ~log2(W) group
+    adds per scalar instead of ~2*254 for double-and-add.
+    """
+    digits = _all_digits(fr_spec, scalars, c)  # [W, n]
+    W = digits.shape[0]
+    assert W <= table.x.shape[0], "table too small for scalar bit-length"
+
+    # gather: parts[j, i] = table[j, digits[j, i]]
+    parts = jax.lax.map(
+        lambda jr: point_index(point_index(table, jr[0]), jr[1]),
+        (jnp.arange(W), digits))
+
+    # tree-reduce over the window axis (leading)
+    return _tree_reduce_axis0(C, parts)
+
+
+def _tree_reduce_axis0(C: CurveOps, p: Point) -> Point:
+    """Tree-sum over axis 0 keeping remaining batch axes."""
+    n = p.x.shape[0]
+    while n > 1:
+        half = n // 2
+        even = jax.tree.map(lambda x: x[0 : 2 * half : 2], p)
+        odd = jax.tree.map(lambda x: x[1 : 2 * half : 2], p)
+        s = C.add(Point(*even), Point(*odd))
+        if n % 2:
+            s = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[-1:]], 0), s, p)
+            s = Point(*s)
+        p = s
+        n = (n + 1) // 2
+    return jax.tree.map(lambda x: x[0], p)

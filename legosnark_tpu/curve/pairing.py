@@ -1,0 +1,289 @@
+"""Optimal ate pairing on BN254, batched and branchless.
+
+TPU-native replacement for the libff pairing entry points the reference
+uses: `miller_loop` / `double_miller_loop` / `final_exponentiation` /
+`reduced_pairing` (`/root/reference/src/utils/globl.h:94-105`,
+`/root/reference/src/gadgets/subspace.cc:88-171`,
+`/root/reference/src/gadgets/poly.h:93-126`,
+`/root/reference/src/gadgets/lipmaa.cc:187-207`).
+
+Formulas: homogeneous-projective doubling/addition steps on the D-type
+twist (Costello–Lange–Naehrig; the same shape arkworks/libff use), line
+values in sparse `c0 + (c3 + c4 v) w` form folded with `mul_by_034`,
+loop over the static bits of 6x+2 via `lax.scan` (one compiled body),
+and the standard x-adic hard-part addition chain for the final
+exponentiation. All functions batch over leading axes; identities are
+handled by masks at the API boundary (`multi_pairing_check`), not by
+branches inside the loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.ops import FqOps, Fq2Ops
+from ..fields.tower import Fq6Ops, Fq12Ops
+from . import bn254
+from .group import Point, G1, G2, FQ_OPS, FQ2_OPS
+
+F1 = FQ_OPS
+F2 = FQ2_OPS
+F6 = Fq6Ops(F2)
+F12 = Fq12Ops(F6)
+
+_ATE_LOOP = 6 * bn254.BN_X + 2
+_ATE_BITS = np.array([int(b) for b in bin(_ATE_LOOP)[3:]], dtype=np.uint32)
+_X_BITS = np.array([int(b) for b in bin(bn254.BN_X)[3:]], dtype=np.uint32)
+
+
+@functools.lru_cache(None)
+def _consts():
+    """Device constants: Frobenius gammas + twist-Frobenius factors."""
+    fc = bn254.frob_coeffs()
+    gammas = {
+        n: jnp.stack([F2.const(fc[n][k]) for k in range(6)])  # [6, 2, L]
+        for n in (1, 2, 3)
+    }
+    q = bn254.Q
+    twist_qx = F2.const(bn254._fq2_pow(bn254.XI, (q - 1) // 3))
+    twist_qy = F2.const(bn254._fq2_pow(bn254.XI, (q - 1) // 2))
+    two_inv = F1.const(pow(2, -1, q))
+    return gammas, twist_qx, twist_qy, two_inv
+
+
+def frobenius(a, n: int):
+    """q^n-power Frobenius on Fq12 ([..., 2, 3, 2, L])."""
+    gammas, _, _, _ = _consts()
+    g = gammas[n]
+    out = a
+    if n % 2 == 1:
+        # conjugate every Fq2 coefficient: negate the c1 components
+        out = jnp.stack(
+            [a[..., :, :, 0, :], F1.neg(a[..., :, :, 1, :])], axis=-2)
+    # coefficient of v^i w^j is w-basis coefficient k = 2i + j
+    cols = []
+    for j in range(2):
+        rows = []
+        for i in range(3):
+            k = 2 * i + j
+            rows.append(F2.mul(out[..., j, i, :, :], g[k]))
+        cols.append(jnp.stack(rows, axis=-3))
+    return jnp.stack(cols, axis=-4)
+
+
+# ---------------------------------------------------------------------------
+# Miller loop
+# ---------------------------------------------------------------------------
+
+
+def _dbl_step(rx, ry, rz):
+    """CLN doubling step on the twist; returns new R and D-twist line
+    coefficients (c0, c3, c4) with c0 to be scaled by P.y, c3 by P.x."""
+    _, _, _, two_inv = _consts()
+    b_twist = jnp.asarray(F2.const(
+        (bn254.B_G2[0], bn254.B_G2[1])))
+    a = F2.mul_base(F2.mul(rx, ry), two_inv)
+    b = F2.sqr(ry)
+    c = F2.sqr(rz)
+    c3x = F2.add(F2.add(c, c), c)
+    e = F2.mul(b_twist, c3x)
+    f = F2.add(F2.add(e, e), e)
+    g = F2.mul_base(F2.add(b, f), two_inv)
+    h = F2.sub(F2.sqr(F2.add(ry, rz)), F2.add(b, c))
+    i = F2.sub(e, b)
+    j = F2.sqr(rx)
+    e2 = F2.sqr(e)
+    nx = F2.mul(a, F2.sub(b, f))
+    ny = F2.sub(F2.sqr(g), F2.add(F2.add(e2, e2), e2))
+    nz = F2.mul(b, h)
+    c0 = F2.neg(h)
+    c3 = F2.add(F2.add(j, j), j)
+    c4 = i
+    return (nx, ny, nz), (c0, c3, c4)
+
+
+def _add_step(rx, ry, rz, qx, qy):
+    """CLN mixed addition step R += Q (Q affine on the twist)."""
+    theta = F2.sub(ry, F2.mul(qy, rz))
+    lam = F2.sub(rx, F2.mul(qx, rz))
+    c = F2.sqr(theta)
+    d = F2.sqr(lam)
+    e = F2.mul(lam, d)
+    f = F2.mul(rz, c)
+    g = F2.mul(rx, d)
+    h = F2.sub(F2.add(e, f), F2.add(g, g))
+    nx = F2.mul(lam, h)
+    ny = F2.sub(F2.mul(theta, F2.sub(g, h)), F2.mul(e, ry))
+    nz = F2.mul(rz, e)
+    j = F2.sub(F2.mul(theta, qx), F2.mul(lam, qy))
+    return (nx, ny, nz), (lam, F2.neg(theta), j)
+
+
+def _ell(f, coeffs, px, py):
+    """Fold a line value into f: f *= (c0*P.y) + (c3*P.x + c4 v) w."""
+    c0, c3, c4 = coeffs
+    return F12.mul_by_034(f, F2.mul_base(c0, py), F2.mul_base(c3, px), c4)
+
+
+def _mul_by_char(qx, qy):
+    """Untwist-Frobenius-twist endomorphism on an affine twist point."""
+    _, twist_qx, twist_qy, _ = _consts()
+    return F2.mul(F2.conj(qx), twist_qx), F2.mul(F2.conj(qy), twist_qy)
+
+
+def miller_loop(px, py, qx, qy):
+    """Batched Miller loop. px, py: affine G1 coords [..., L];
+    qx, qy: affine G2 coords [..., 2, L]. Returns Fq12 [...]."""
+    batch = px.shape[:-1]
+    f = F12.one(batch)
+    r = (qx, qy, F2.one(batch))
+    bits = jnp.asarray(_ATE_BITS)
+
+    def body(carry, bit):
+        f, rx, ry, rz = carry
+        f = F12.sqr(f)
+        (rx, ry, rz), cd = _dbl_step(rx, ry, rz)
+        f = _ell(f, cd, px, py)
+        # masked addition step (bit of 6x+2)
+        (ax, ay, az), ca = _add_step(rx, ry, rz, qx, qy)
+        fa = _ell(f, ca, px, py)
+        take = bit > 0
+        f = F12.select(jnp.broadcast_to(take, batch), fa, f)
+        rx = F2.select(jnp.broadcast_to(take, batch), ax, rx)
+        ry = F2.select(jnp.broadcast_to(take, batch), ay, ry)
+        rz = F2.select(jnp.broadcast_to(take, batch), az, rz)
+        return (f, rx, ry, rz), None
+
+    (f, rx, ry, rz), _ = jax.lax.scan(body, (f, *r), bits)
+
+    # final two addition steps with q1 = pi(Q), q2 = -pi^2(Q)
+    q1x, q1y = _mul_by_char(qx, qy)
+    q2x, q2y = _mul_by_char(q1x, q1y)
+    q2y = F2.neg(q2y)
+    (rx, ry, rz), c1 = _add_step(rx, ry, rz, q1x, q1y)
+    f = _ell(f, c1, px, py)
+    (rx, ry, rz), c2 = _add_step(rx, ry, rz, q2x, q2y)
+    f = _ell(f, c2, px, py)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Final exponentiation
+# ---------------------------------------------------------------------------
+
+
+def _exp_by_x(f):
+    """f^x for the BN parameter x (cyclotomic subgroup input)."""
+    def body(acc, bit):
+        acc = F12.sqr(acc)
+        accm = F12.mul(acc, f)
+        acc = F12.select(
+            jnp.broadcast_to(bit > 0, acc.shape[:-4]), accm, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, f, jnp.asarray(_X_BITS))
+    return acc
+
+
+def _exp_by_neg_x(f):
+    return F12.conj(_exp_by_x(f))
+
+
+def final_exp(f):
+    """f^((q^12-1)/r): easy part then the x-adic hard-part chain."""
+    # easy: f^(q^6 - 1) then ^(q^2 + 1)
+    f = F12.mul(F12.conj(f), F12.inv(f))
+    f = F12.mul(frobenius(f, 2), f)
+    r = f
+    # hard part (Devegili et al. addition chain, as in libff/arkworks)
+    y0 = _exp_by_neg_x(r)
+    y1 = F12.sqr(y0)
+    y2 = F12.sqr(y1)
+    y3 = F12.mul(y2, y1)
+    y4 = _exp_by_neg_x(y3)
+    y5 = F12.sqr(y4)
+    y6 = _exp_by_neg_x(y5)
+    y3 = F12.conj(y3)
+    y6 = F12.conj(y6)
+    y7 = F12.mul(y6, y4)
+    y8 = F12.mul(y7, y3)
+    y9 = F12.mul(y8, y1)
+    y10 = F12.mul(y8, y4)
+    y11 = F12.mul(y10, r)
+    y12 = frobenius(y9, 1)
+    y13 = F12.mul(y12, y11)
+    y8 = frobenius(y8, 2)
+    y14 = F12.mul(y8, y13)
+    r = F12.conj(r)
+    y15 = F12.mul(r, y9)
+    y15 = frobenius(y15, 3)
+    return F12.mul(y15, y14)
+
+
+# ---------------------------------------------------------------------------
+# High-level API
+# ---------------------------------------------------------------------------
+
+
+def pairing(px, py, qx, qy):
+    """Reduced optimal ate pairing e(P, Q), batched over leading axes."""
+    return final_exp(miller_loop(px, py, qx, qy))
+
+
+def g1_affine(p: Point):
+    """Projective G1 -> (x, y, valid). Identity maps to the generator
+    coords with valid=False so downstream pairings stay well-defined."""
+    x, y, is_id = G1.to_affine(p)
+    gx = jnp.broadcast_to(F1.const(bn254.G1_GEN[0]), x.shape)
+    gy = jnp.broadcast_to(F1.const(bn254.G1_GEN[1]), y.shape)
+    return (F1.select(is_id, gx, x), F1.select(is_id, gy, y),
+            jnp.logical_not(is_id))
+
+
+def g2_affine(p: Point):
+    x, y, is_id = G2.to_affine(p)
+    gx = jnp.broadcast_to(F2.const(bn254.G2_GEN_X), x.shape)
+    gy = jnp.broadcast_to(F2.const(bn254.G2_GEN_Y), y.shape)
+    return (F2.select(is_id, gx, x), F2.select(is_id, gy, y),
+            jnp.logical_not(is_id))
+
+
+def multi_miller(px, py, qx, qy, valid=None):
+    """prod_i miller(P_i, Q_i) over the leading axis, with an optional
+    validity mask (invalid pairs contribute 1) — the batched analogue of
+    libff's `double_miller_loop` chains in the reference verifiers."""
+    fs = miller_loop(px, py, qx, qy)  # [n, ...]
+    if valid is not None:
+        fs = F12.select(valid, fs, F12.one(fs.shape[:-4]))
+    # tree-product over axis 0
+    n = fs.shape[0]
+    while n > 1:
+        half = n // 2
+        prod = F12.mul(fs[0 : 2 * half : 2], fs[1 : 2 * half : 2])
+        if n % 2:
+            prod = jnp.concatenate([prod, fs[-1:]], axis=0)
+        fs = prod
+        n = (n + 1) // 2
+    return fs[0]
+
+
+def pairing_product_is_one(g1_points: Point, g2_points: Point):
+    """Check prod_i e(P_i, Q_i) == 1 for batched projective points —
+    the TPU form of every reference verifier equation (pairings with
+    negated first arguments express equality checks)."""
+    px, py, v1 = g1_affine(g1_points)
+    qx, qy, v2 = g2_affine(g2_points)
+    f = multi_miller(px, py, qx, qy, jnp.logical_and(v1, v2))
+    return F12.is_one(final_exp(f))
+
+
+def simple_pairing_check(a1: Point, a2: Point, b1: Point, b2: Point):
+    """e(a1, a2) == e(b1, b2) — mirrors `simple_pairing_check`
+    (`/root/reference/src/utils/globl.h:94-105`), as
+    e(-a1, a2) * e(b1, b2) == 1 with one shared final exponentiation."""
+    stack = lambda p, q: Point(
+        jnp.stack([p.x, q.x]), jnp.stack([p.y, q.y]), jnp.stack([p.z, q.z]))
+    return pairing_product_is_one(stack(G1.neg(a1), b1), stack(a2, b2))

@@ -1,0 +1,195 @@
+"""CPpoly — multilinear polynomial commitment (vSQL/PST13 style).
+
+TPU-native, *sound* re-design of `CPPoly`
+(`/root/reference/src/gadgets/poly.h`). The reference keeps the right
+cost profile (d quotient folds, d (+d-1 "knowledge") MSMs, a pairing
+ladder) but commits everything under generator bases "for benchmark
+purposes only" (`poly.h:73,83-87,102`). Here the scheme is the real
+PST13 construction:
+
+  keygen(d):  secret s in Fr^d, alpha in Fr.
+              level-j G1 bases  B_j[p] = eq(p, s_{j..d-1}) * G   (2^{d-j} pts)
+              alpha-shifted     A_j[p] = alpha * eq(p, s_{j..d-1}) * G
+              G2 elements       S_j = s_j * G2,  G2a = alpha * G2
+  commit(v):  C = <B_0, v>, Ca = <A_0, v>   (two MSMs — same count as
+              the reference's c/kc pair)
+  prove(v,r): per round i: quotient table q_i = hi - lo (the same fold
+              as `poly.h:56-67`), W_i = <B_{i+1}, q_i>, Wa_i = <A_{i+1}, q_i>
+  verify:     e(C - ans*G, G2) * prod_i e(W_i, r_i*G2 - S_i) == 1
+              plus knowledge checks e(W_i, G2a) == e(Wa_i, G2) and
+              e(C, G2a) == e(Ca, G2)    (`poly.h:93-126` made sound)
+
+The telescoping identity: with v^(i) = v folded by r_0..r_{i-1},
+v~(s) - v~(r) = sum_i (s_i - r_i) * Q_i(s_{i+1..}) where
+Q_i = v^(i)[x_i=1] - v^(i)[x_i=0] — exactly `w_coeffs` in the
+reference's fold loop.
+
+Variable convention matches prototools.mle: bit i of a table index is
+variable i; round i binds variable i.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb as fl
+from ..curve import bn254
+from ..curve.group import Point, G1, G2, FR_OPS, g1_generator, g2_generator
+from ..curve import msm as msm_mod
+from ..prototools import mle
+
+FR = bn254.FR
+
+
+class PolyKey(NamedTuple):
+    d: int
+    bases: Tuple[Point, ...]     # level j in 0..d: [2^(d-j)] G1 points
+    bases_a: Tuple[Point, ...]   # alpha-shifted copies
+    g2_s: Point                  # [d] G2: s_j * G2
+    g2_alpha: Point              # alpha * G2
+    g1: Point                    # generator
+    g2: Point                    # generator
+
+
+class PolyComm(NamedTuple):
+    c: Point    # <B_0, v>
+    ca: Point   # alpha leg
+
+
+class PolyPf(NamedTuple):
+    witness: Point    # [d] G1  (W_i)
+    witnessa: Point   # [d] G1  (alpha leg)
+
+
+def _rand_fr(rng) -> int:
+    return (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
+            * int(rng.integers(0, 1 << 62)) + int(rng.integers(0, 1 << 62))
+            ) % bn254.R
+
+
+def keygen(d: int, seed: int = 0) -> PolyKey:
+    """Structured-reference-string generation (trusted setup: s, alpha
+    are toxic waste, discarded on return)."""
+    rng = np.random.default_rng(seed ^ 0x9057)
+    s_ints = [_rand_fr(rng) for _ in range(d)]
+    alpha_int = _rand_fr(rng)
+    s_mont = jnp.asarray(
+        np.stack([FR.to_mont_int(x) for x in s_ints])) if d else \
+        jnp.zeros((0, FR.nlimbs), jnp.uint32)
+    alpha = jnp.asarray(FR.to_mont_int(alpha_int))
+
+    table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
+
+    bases, bases_a = [], []
+    for j in range(d + 1):
+        eqt = mle.mk_beta(s_mont[j:])                  # [2^(d-j), L] mont
+        eqa = fl.mont_mul(FR, eqt, alpha[None])
+        bases.append(msm_mod.batch_scalar_mul(
+            G1, table, fl.from_mont(FR, eqt), c=8))
+        bases_a.append(msm_mod.batch_scalar_mul(
+            G1, table, fl.from_mont(FR, eqa), c=8))
+
+    g2t = msm_mod.fixed_base_table(G2, g2_generator(), c=8)
+    sa = jnp.concatenate(
+        [fl.from_mont(FR, s_mont),
+         fl.from_mont(FR, alpha)[None]], axis=0)
+    g2_pts = msm_mod.batch_scalar_mul(G2, g2t, sa, c=8)
+    g2_s = jax.tree.map(lambda x: x[:d], g2_pts)
+    g2_alpha = jax.tree.map(lambda x: x[d], g2_pts)
+
+    return PolyKey(d, tuple(bases), tuple(bases_a), Point(*g2_s),
+                   Point(*g2_alpha), g1_generator(), g2_generator())
+
+
+def commit(key: PolyKey, v_mont) -> PolyComm:
+    """Commit to the 2^d evaluation table (`poly.h:30-32`)."""
+    v_can = fl.from_mont(FR, v_mont)
+    return PolyComm(msm_mod.msm(G1, key.bases[0], v_can),
+                    msm_mod.msm(G1, key.bases_a[0], v_can))
+
+
+def compute_answer(key: PolyKey, v_mont, r_mont):
+    """ans = v~(r) (`poly.h:39-43`); answer commitment ans*G."""
+    ans = mle.eval_mle(v_mont, r_mont)
+    return ans, G1.scalar_mul(key.g1, fl.from_mont(FR, ans))
+
+
+def prove(key: PolyKey, v_mont, r_mont) -> PolyPf:
+    """d quotient witnesses by successive folding (`poly.h:45-91`)."""
+    d = key.d
+    ws, was = [], []
+    v = v_mont
+    for i in range(d):
+        lo, hi = v[0::2], v[1::2]
+        q = fl.sub(FR, hi, lo)               # Q_i eval table, 2^(d-i-1)
+        q_can = fl.from_mont(FR, q)
+        ws.append(msm_mod.msm(G1, key.bases[i + 1], q_can))
+        was.append(msm_mod.msm(G1, key.bases_a[i + 1], q_can))
+        v = mle.fold(v, r_mont[i])
+    stackp = lambda ps: Point(
+        jnp.stack([p.x for p in ps]), jnp.stack([p.y for p in ps]),
+        jnp.stack([p.z for p in ps]))
+    return PolyPf(stackp(ws), stackp(was))
+
+
+def check_commit(key: PolyKey, cm: PolyComm):
+    """Knowledge well-formedness e(C, G2a) == e(Ca, G2)
+    (`poly.h:34-36`)."""
+    from ..curve import pairing as pr
+    g1s = Point(jnp.stack([cm.c.x, G1.neg(cm.ca).x]),
+                jnp.stack([cm.c.y, G1.neg(cm.ca).y]),
+                jnp.stack([cm.c.z, G1.neg(cm.ca).z]))
+    g2s = Point(jnp.stack([key.g2_alpha.x, key.g2.x]),
+                jnp.stack([key.g2_alpha.y, key.g2.y]),
+                jnp.stack([key.g2_alpha.z, key.g2.z]))
+    return pr.pairing_product_is_one(g1s, g2s)
+
+
+def verify(key: PolyKey, cm: PolyComm, ans_commit: Point, r_mont,
+           pf: PolyPf):
+    """Pairing ladder (`poly.h:93-126`, sound version).
+
+    Main equation as a single product-of-pairings == 1:
+      e(-(C - ansC), G2) * prod_i e(W_i, r_i*G2 - S_i)^(-1 sign folded)
+    rearranged: e(C - ansC, -G2) * prod_i e(W_i, S_i - r_i*G2) ... == 1
+    Knowledge: for each i, e(W_i, G2a) == e(Wa_i, G2).
+    """
+    from ..curve import pairing as pr
+    d = key.d
+    r_can = fl.from_mont(FR, r_mont)
+
+    # r_i * G2 points, batched
+    rg2 = G2.scalar_mul(g2_generator((d,)), r_can)
+    # S_i - r_i*G2
+    sr = G2.add(Point(*key.g2_s), G2.neg(rg2))
+
+    # main: e(ansC - C, G2) * prod e(W_i, S_i - r_i G2) == 1
+    diff = G1.add(ans_commit, G1.neg(cm.c))
+    g1s = Point(
+        jnp.concatenate([diff.x[None], pf.witness.x]),
+        jnp.concatenate([diff.y[None], pf.witness.y]),
+        jnp.concatenate([diff.z[None], pf.witness.z]))
+    g2b = g2_generator()
+    g2s = Point(
+        jnp.concatenate([g2b.x[None], sr.x]),
+        jnp.concatenate([g2b.y[None], sr.y]),
+        jnp.concatenate([g2b.z[None], sr.z]))
+    main_ok = pr.pairing_product_is_one(g1s, g2s)
+
+    # knowledge checks, one batched product per witness pair:
+    # prod_i e(W_i, G2a) e(-Wa_i, G2) == 1 is NOT sound as a batch
+    # (cancellation across i); check each i separately.
+    def know_one(w, wa):
+        g1p = Point(jnp.stack([w.x, G1.neg(wa).x]),
+                    jnp.stack([w.y, G1.neg(wa).y]),
+                    jnp.stack([w.z, G1.neg(wa).z]))
+        g2p = Point(jnp.stack([key.g2_alpha.x, key.g2.x]),
+                    jnp.stack([key.g2_alpha.y, key.g2.y]),
+                    jnp.stack([key.g2_alpha.z, key.g2.z]))
+        return pr.pairing_product_is_one(g1p, g2p)
+
+    know_ok = jax.vmap(know_one)(pf.witness, pf.witnessa)
+    return jnp.logical_and(main_ok, jnp.all(know_ok))

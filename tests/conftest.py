@@ -8,6 +8,9 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# small Pippenger window: tests run tiny MSMs on CPU where the 2^c
+# bucket-boundary phase would dominate at the TPU-tuned window sizes
+os.environ.setdefault("LEGOSNARK_MSM_C", "4")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

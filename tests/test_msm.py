@@ -1,0 +1,92 @@
+"""MSM kernels vs the bigint oracle.
+
+Covers the roles of `multiExpMA` (`/root/reference/src/utils/globl.h:63-78`)
+and `simpleBatchExp` (`/root/reference/src/utils/util.h:119-134`).
+"""
+import numpy as np
+import jax
+import pytest
+
+import oracle
+from legosnark_tpu.curve import bn254
+from legosnark_tpu.curve.group import (
+    G1, G2, FR_OPS, g1_generator, g2_generator,
+    g1_from_oracle, g2_from_oracle, g1_to_oracle, g2_to_oracle,
+    g1_to_oracle_batch,
+)
+from legosnark_tpu.curve import msm as msm_mod
+from legosnark_tpu.fields import limb as fl
+
+rng = np.random.default_rng(7)
+
+
+def rand_fr_ints(n):
+    return [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
+            % bn254.R for _ in range(n)]
+
+
+def fr_canonical(ints):
+    return np.stack([fl.int_to_limbs(x, bn254.FR.nlimbs) for x in ints])
+
+
+def rand_g1_points(n):
+    ks = rand_fr_ints(n)
+    pts = [oracle.g1_mul(oracle.G1, k) for k in ks]
+    return pts
+
+
+@pytest.mark.parametrize("n,c", [(7, 4), (33, 6)])
+def test_msm_g1_matches_oracle(n, c):
+    pts = rand_g1_points(n)
+    ks = rand_fr_ints(n)
+    # include edge scalars: zero and one
+    ks[0] = 0
+    if n > 1:
+        ks[1] = 1
+    expected = None
+    for p, k in zip(pts, ks):
+        expected = oracle.g1_add(expected, oracle.g1_mul(p, k))
+
+    points = g1_from_oracle(pts)
+    scalars = fr_canonical(ks)
+    out = jax.jit(lambda p, s: msm_mod.msm(G1, p, s, c=c))(points, scalars)
+    assert g1_to_oracle(out) == expected
+
+
+def test_msm_g2_matches_oracle():
+    n = 9
+    ks = rand_fr_ints(n)
+    pts = [oracle.g2_mul(oracle.G2, int(rng.integers(1, 1 << 40)))
+           for _ in range(n)]
+    expected = None
+    for p, k in zip(pts, ks):
+        expected = oracle.g2_add(expected, oracle.g2_mul(p, k))
+
+    points = g2_from_oracle(pts)
+    scalars = fr_canonical(ks)
+    out = jax.jit(lambda p, s: msm_mod.msm(G2, p, s, c=5))(points, scalars)
+    assert g2_to_oracle(out) == expected
+
+
+def test_msm_all_zero_scalars():
+    n = 5
+    pts = rand_g1_points(n)
+    points = g1_from_oracle(pts)
+    scalars = fr_canonical([0] * n)
+    out = jax.jit(lambda p, s: msm_mod.msm(G1, p, s, c=5))(points, scalars)
+    assert g1_to_oracle(out) is None
+
+
+def test_fixed_base_batch_scalar_mul():
+    n = 6
+    ks = rand_fr_ints(n)
+    ks[0] = 0
+    base = g1_generator()
+    table = jax.jit(
+        lambda b: msm_mod.fixed_base_table(G1, b, c=8))(base)
+    scalars = fr_canonical(ks)
+    out = jax.jit(
+        lambda t, s: msm_mod.batch_scalar_mul(G1, t, s, c=8))(table, scalars)
+    got = g1_to_oracle_batch(out)
+    for k, g in zip(ks, got):
+        assert g == oracle.g1_mul(oracle.G1, k)

@@ -1,0 +1,99 @@
+"""Device pairing vs the bigint oracle.
+
+Validates the TPU replacements for libff `miller_loop` /
+`final_exponentiation` (`/root/reference/src/utils/globl.h:94-105`).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import oracle
+from legosnark_tpu.curve import bn254, pairing as pr
+from legosnark_tpu.curve.group import (
+    G1, Point, g1_from_oracle, g2_from_oracle,
+)
+
+rng = np.random.default_rng(11)
+
+
+def f12_to_oracle(a):
+    """Single device Fq12 [2, 3, 2, L] -> oracle nested int tuples."""
+    a = np.asarray(a)
+    spec = bn254.FQ
+
+    def f2(v):
+        return (spec.from_mont_limbs(v[0]), spec.from_mont_limbs(v[1]))
+
+    return tuple(
+        tuple(f2(a[j, i]) for i in range(3)) for j in range(2)
+    )
+
+
+def setup_pairs(n):
+    ks1 = [int(rng.integers(1, 1 << 50)) for _ in range(n)]
+    ks2 = [int(rng.integers(1, 1 << 50)) for _ in range(n)]
+    ps = [oracle.g1_mul(oracle.G1, k) for k in ks1]
+    qs = [oracle.g2_mul(oracle.G2, k) for k in ks2]
+    return ps, qs
+
+
+def test_miller_and_pairing_match_oracle():
+    ps, qs = setup_pairs(2)
+    p_dev = g1_from_oracle(ps)
+    q_dev = g2_from_oracle(qs)
+
+    px, py, _ = jax.jit(pr.g1_affine)(p_dev)
+    qx, qy, _ = jax.jit(pr.g2_affine)(q_dev)
+
+    ml = jax.jit(pr.miller_loop)(px, py, qx, qy)
+    full = jax.jit(pr.pairing)(px, py, qx, qy)
+
+    for i in range(2):
+        exp_ml = oracle.miller_loop(
+            oracle.untwist(qs[i]),
+            (oracle.f12_from_fq(ps[i][0]), oracle.f12_from_fq(ps[i][1])))
+        assert f12_to_oracle(ml[i]) == exp_ml
+        assert f12_to_oracle(full[i]) == oracle.final_exp(exp_ml)
+
+
+def test_pairing_bilinearity_on_device():
+    ps, qs = setup_pairs(1)
+    p, q = ps[0], qs[0]
+    p2 = oracle.g1_mul(p, 2)
+    q2 = oracle.g2_mul(q, 2)
+
+    p_dev = g1_from_oracle([p, p2, p])
+    q_dev = g2_from_oracle([q, q, q2])
+    px, py, _ = jax.jit(pr.g1_affine)(p_dev)
+    qx, qy, _ = jax.jit(pr.g2_affine)(q_dev)
+    e = jax.jit(pr.pairing)(px, py, qx, qy)
+
+    e_pq, e_2pq, e_p2q = (f12_to_oracle(e[i]) for i in range(3))
+    sq = oracle.f12_mul(e_pq, e_pq)
+    assert e_2pq == sq
+    assert e_p2q == sq
+
+
+def test_simple_pairing_check():
+    # e(2P, Q) == e(P, 2Q) must hold; e(2P, Q) == e(P, 3Q) must not.
+    ps, qs = setup_pairs(1)
+    p, q = ps[0], qs[0]
+    a1 = g1_from_oracle([oracle.g1_mul(p, 2)])
+    a2 = g2_from_oracle([q])
+    b1 = g1_from_oracle([p])
+    b2_good = g2_from_oracle([oracle.g2_mul(q, 2)])
+    b2_bad = g2_from_oracle([oracle.g2_mul(q, 3)])
+
+    one = lambda pt: Point(pt.x[0], pt.y[0], pt.z[0])
+    check = jax.jit(pr.simple_pairing_check)
+    assert bool(check(one(a1), one(a2), one(b1), one(b2_good)))
+    assert not bool(check(one(a1), one(a2), one(b1), one(b2_bad)))
+
+
+def test_pairing_with_identity_masked():
+    # product over [e(P,Q), e(identity, Q)] == e(P,Q): identity leg drops out
+    ps, qs = setup_pairs(1)
+    p, q = ps[0], qs[0]
+    p_dev = g1_from_oracle([p, None, oracle.g1_neg(p)])
+    q_dev = g2_from_oracle([q, q, q])
+    assert bool(jax.jit(pr.pairing_product_is_one)(p_dev, q_dev))
