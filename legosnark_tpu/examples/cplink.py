@@ -49,8 +49,10 @@ def run(log_n: int) -> bool:
     u = jnp.asarray(np.stack([
         fl.int_to_limbs(int(rng.integers(0, 1 << 62)), FR.nlimbs)
         for _ in range(n)]))
-    rH = jnp.asarray(fl.int_to_limbs(int(rng.integers(1, R >> 1)), FR.nlimbs))
-    rF = jnp.asarray(fl.int_to_limbs(int(rng.integers(1, R >> 1)), FR.nlimbs))
+    rand_fr = lambda: (int(rng.integers(1, 1 << 62))
+                       * int(rng.integers(1, 1 << 62))) % R
+    rH = jnp.asarray(fl.int_to_limbs(rand_fr(), FR.nlimbs))
+    rF = jnp.asarray(fl.int_to_limbs(rand_fr(), FR.nlimbs))
 
     with timer.phase("commit") as out:
         cH = G1.add(msm_mod.msm(G1, bases_h, u), G1.scalar_mul(h, rH))

@@ -28,6 +28,7 @@ modulus below 13*NLIMB bits.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -191,37 +192,60 @@ def _carry_with_out(x, nout: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(None)
+def _conv_tables(L: int, width: int):
+    """Gather indices/mask realizing out[k] = sum_i a_i * b_{k-i} as ONE
+    gather + multiply + reduce. Keeping the per-mul HLO count tiny is
+    what makes the big pairing/MSM graphs compile fast, and the
+    broadcast-multiply-reduce shape is MXU/VPU-friendly on TPU."""
+    idx = np.zeros((L, width), dtype=np.int32)
+    mask = np.zeros((L, width), dtype=np.uint32)
+    for i in range(L):
+        for k in range(width):
+            j = k - i
+            if 0 <= j < L:
+                idx[i, k] = j
+                mask[i, k] = 1
+    return idx, mask
+
+
+_CONV_MODE = os.environ.get("LEGOSNARK_CONV", "pad")
+
+
 def _conv_full(a, b):
     """Full product columns: out[..., k] = sum_{i+j=k} a_i * b_j.
 
     Inputs are canonical 13-bit limb vectors [..., L]; output [..., 2L-1]
     columns each < L * 2^26 < 2^31.
+
+    Formulations (LEGOSNARK_CONV): "pad" — L shifted copies built by
+    one pad per term, summed (few, fusion-friendly HLO ops); "gather" —
+    one gather + broadcast-multiply + reduce.
     """
     L = a.shape[-1]
+    if _CONV_MODE == "gather":
+        idx, mask = _conv_tables(L, 2 * L - 1)
+        B = b[..., jnp.asarray(idx)] * jnp.asarray(mask)   # [..., L, 2L-1]
+        return jnp.sum(a[..., :, None] * B, axis=-2, dtype=jnp.uint32)
     out = jnp.zeros(a.shape[:-1] + (2 * L - 1,), dtype=jnp.uint32)
+    pad_cfg = [(0, 0)] * (a.ndim - 1)
     for i in range(L):
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out,
-            jax.lax.dynamic_slice_in_dim(out, i, L, axis=-1)
-            + a[..., i : i + 1] * b,
-            i,
-            axis=-1,
-        )
+        term = a[..., i : i + 1] * b
+        out = out + jnp.pad(term, pad_cfg + [(i, L - 1 - i)])
     return out
 
 
 def _conv_lo(a, b, L: int):
     """Truncated product columns k < L (mod R context)."""
+    if _CONV_MODE == "gather":
+        idx, mask = _conv_tables(L, L)
+        B = b[..., jnp.asarray(idx)] * jnp.asarray(mask)
+        return jnp.sum(a[..., :L, None] * B, axis=-2, dtype=jnp.uint32)
     out = jnp.zeros(a.shape[:-1] + (L,), dtype=jnp.uint32)
+    pad_cfg = [(0, 0)] * (a.ndim - 1)
     for i in range(L):
-        w = L - i
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out,
-            jax.lax.dynamic_slice_in_dim(out, i, w, axis=-1)
-            + a[..., i : i + 1] * b[..., :w],
-            i,
-            axis=-1,
-        )
+        term = a[..., i : i + 1] * b[..., : L - i]
+        out = out + jnp.pad(term, pad_cfg + [(i, 0)])
     return out
 
 

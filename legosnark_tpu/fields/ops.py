@@ -66,8 +66,14 @@ class FqOps:
         return self.spec.from_mont_limbs(np.asarray(a))
 
     def from_ints(self, xs):
-        return jnp.asarray(
-            np.stack([self.spec.to_mont_int(int(x)) for x in xs]))
+        """Batch int -> Montgomery limbs; uses the native C++ codec
+        (legosnark_tpu.native) when available."""
+        try:
+            from ..native import encode_ints
+            return jnp.asarray(encode_ints(self.spec, [int(x) for x in xs]))
+        except Exception:
+            return jnp.asarray(
+                np.stack([self.spec.to_mont_int(int(x)) for x in xs]))
 
     def batch_shape(self, a):
         return a.shape[:-1]
