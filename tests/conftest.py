@@ -7,7 +7,6 @@ required. Benchmarks (bench.py) run on real TPU instead.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # small Pippenger window: tests run tiny MSMs on CPU where the 2^c
 # bucket-boundary phase would dominate at the TPU-tuned window sizes
 os.environ.setdefault("LEGOSNARK_MSM_C", "4")
@@ -18,5 +17,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# The image's sitecustomize pre-imports jax and pins JAX_PLATFORMS to
+# the tunneled TPU backend, so env vars are too late — force CPU via
+# jax.config (backends are not initialized yet at conftest time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import legosnark_tpu.config  # noqa: E402,F401  (enables XLA compile cache)
