@@ -22,6 +22,9 @@ def setup_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # default persistent caching skips the CPU backend; tests run on
+        # a virtual CPU mesh, so opt everything in
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass  # older jax without these options
 

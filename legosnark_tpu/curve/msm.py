@@ -59,23 +59,122 @@ def _all_digits(spec: fl.FieldSpec, scalars, c: int):
     return jnp.stack(cols, axis=0)
 
 
+def _split_cols(n: int, target: int | None = None) -> int:
+    """Pick a column count ~sqrt(n) (power of two) for two-level scans."""
+    if target is not None:
+        return target
+    cols = 1
+    while cols * cols < n:
+        cols *= 2
+    return min(cols, n)
+
+
+def scan_sum(C: CurveOps, p: Point, cols: int | None = None) -> Point:
+    """Sum a batch of points along axis 0 with O(1) traced group ops.
+
+    Two-level: reshape [n] -> [rows, cols]; lax.scan over rows (ONE
+    point-add body, vectorized over cols), then a reverse scan over the
+    cols partials. Work = n adds; traced adds = 2 — this replaces the
+    unrolled `sum_reduce` tree on hot paths, whose log(n) distinct-shape
+    levels made trace/compile time explode (round-1 lesson).
+    """
+    n = p.x.shape[0]
+    if n == 1:
+        return jax.tree.map(lambda x: x[0], p)
+    cols = _split_cols(n, cols)
+    rows = -(-n // cols)
+    if rows * cols != n:
+        pad = rows * cols - n
+        ident = C.identity((pad,))
+        p = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), p, ident)
+    mat = jax.tree.map(
+        lambda x: x.reshape((rows, cols) + x.shape[1:]), p)
+
+    def body(carry, row):
+        return C.add(carry, Point(*row)), None
+
+    colsum, _ = jax.lax.scan(body, C.identity((cols,)), tuple(mat))
+
+    def body2(carry, one):
+        return C.add(carry, Point(*one)), None
+
+    total, _ = jax.lax.scan(body2, C.identity(()), tuple(colsum))
+    return total
+
+
+def _suffix_at(C: CurveOps, ps: Point, idx, cols: int | None = None):
+    """Suffix sums S[q] = sum_{t >= idx[q]} ps[t] at query positions.
+
+    Trace-light two-level scheme: column-major reshape [cols, rows];
+    a reverse lax.scan over rows gives within-column suffixes (ONE
+    traced add, n adds of work); a reverse scan over column totals
+    gives the exclusive cross-column suffixes; each query then costs
+    one gather + one add. idx entries == n return the identity.
+    """
+    n = ps.x.shape[0]
+    cols = _split_cols(n, cols)
+    rows = n // cols
+    assert rows * cols == n, "n must be divisible by cols"
+    # B[c, r] = ps[c*rows + r]; scan wants rows leading
+    B = jax.tree.map(
+        lambda x: jnp.moveaxis(
+            x.reshape((cols, rows) + x.shape[1:]), 1, 0), ps)
+
+    def body(carry, row):
+        nxt = C.add(carry, Point(*row))
+        return nxt, nxt
+
+    colfin, inner = jax.lax.scan(
+        body, C.identity((cols,)), tuple(B), reverse=True)
+    # inner[r, c] = sum_{r' >= r} B[c, r']; colfin[c] = column total
+
+    def body2(carry, one):
+        nxt = C.add(carry, Point(*one))
+        return nxt, carry  # emit EXCLUSIVE suffix
+
+    _, colsuf = jax.lax.scan(
+        body2, C.identity(()), tuple(Point(*colfin)), reverse=True)
+    colsuf = Point(*colsuf)  # [cols]
+
+    q = idx.shape[0]
+    safe = jnp.minimum(idx, n - 1)
+    ci, ri = safe // rows, safe % rows
+    part = jax.tree.map(lambda x: x[ri, ci], Point(*inner))
+    cross = point_index(colsuf, ci)
+    out = C.add(Point(*part), cross)
+    return C.select(idx < n, out, C.identity((q,)))
+
+
 def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
-    """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window."""
+    """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
+
+    Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
+    (sum of points with digit >= t). All phases are trace-light scans.
+    """
     n = d.shape[0]
     order = jnp.argsort(d)
     d_sorted = d[order]
     ps = point_index(points, order)
 
-    # inclusive suffix sums of sorted points (log-depth group-law scan)
-    suf = jax.lax.associative_scan(C.add, ps, reverse=True, axis=0)
+    # pad to a two-level-scannable size with identity points whose
+    # sentinel digit 2^c sorts last and never matches a query threshold
+    cols = _split_cols(n)
+    rows = -(-n // cols)
+    npad = rows * cols
+    if npad != n:
+        ps = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            ps, C.identity((npad - n,)))
+        ps = Point(*ps)
+        d_sorted = jnp.concatenate(
+            [d_sorted,
+             jnp.full((npad - n,), 1 << c, dtype=d_sorted.dtype)])
 
-    # sum_t (sum over points with digit >= t), t = 1 .. 2^c - 1
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
-    safe = jnp.minimum(idx, n - 1)
-    gathered = point_index(suf, safe)
-    gathered = C.select(idx < n, gathered, C.identity((ts.shape[0],)))
-    return C.sum_reduce(gathered)
+    gathered = _suffix_at(C, ps, idx, cols=cols)
+    return scan_sum(C, gathered)
 
 
 def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
@@ -142,17 +241,23 @@ def fixed_base_table(C: CurveOps, base: Point, c: int = 8,
 
     _, Qs = jax.lax.scan(step, base, None, length=W)  # [W] points
 
-    # row j: inclusive prefix scan of 2^c copies of Q_j with an identity
-    # in slot 0 -> [identity, Q, 2Q, ..., (2^c-1) Q]
-    reps = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[:, None], (W, (1 << c) - 1) + x.shape[1:]),
-        Qs)
-    scanned = jax.lax.associative_scan(C.add, reps, axis=1)
-    ident = C.identity((W, 1))
+    # row j: [identity, Q, 2Q, ..., (2^c-1) Q] — a lax.scan that keeps a
+    # running [W]-vector of multiples (ONE traced add; 2^c-1 steps)
+    Qs = Point(*Qs)
+
+    def step2(carry, _):
+        nxt = C.add(Point(*carry), Qs)
+        return tuple(nxt), carry
+
+    _, mults = jax.lax.scan(
+        step2, tuple(C.add(C.identity((W,)), Qs)), None,
+        length=(1 << c) - 1)
+    # mults[m, j] = (m+1) * Q_j for m = 0 .. 2^c-2
+    ident = C.identity((1, W))
     return Point(
-        jnp.concatenate([ident.x, scanned.x], axis=1),
-        jnp.concatenate([ident.y, scanned.y], axis=1),
-        jnp.concatenate([ident.z, scanned.z], axis=1),
+        jnp.moveaxis(jnp.concatenate([ident.x, mults[0]], axis=0), 0, 1),
+        jnp.moveaxis(jnp.concatenate([ident.y, mults[1]], axis=0), 0, 1),
+        jnp.moveaxis(jnp.concatenate([ident.z, mults[2]], axis=0), 0, 1),
     )
 
 

@@ -135,7 +135,7 @@ class FieldSpec:
 # ---------------------------------------------------------------------------
 
 
-def _carry_exact(x, nout: int):
+def _carry_exact(x, nout: int, passes: int = 2):
     """Exact branchless carry normalization.
 
     ``x``: uint32 columns, each < 2^31, little-endian over the trailing
@@ -143,9 +143,13 @@ def _carry_exact(x, nout: int):
     top limb is dropped (callers must size ``nout`` so the true value
     fits, except in intentionally mod-R contexts).
 
-    Three magnitude passes bring limbs into [0, 2^13]; a Kogge-Stone
-    generate/propagate sweep then resolves the remaining +-1 chains in
-    log2 steps. Total depth ~9 vector ops instead of an nout-step scan.
+    ``passes`` magnitude passes shrink the limbs, then a Kogge-Stone
+    generate/propagate sweep resolves the remaining carry chains in
+    log2 steps. The KS sweep is exact whenever limbs entering it are
+    <= 2^14 - 2 (generate stays 0/1): 2 passes guarantee that for any
+    columns < 2^31 (after pass 1 limbs < 2^19, after pass 2
+    <= 2^13 + 63); 1 pass suffices for columns < 2^26 (sums of a few
+    canonical limbs — the add/sub fast path).
     """
     k = x.shape[-1]
     if k < nout:
@@ -162,8 +166,9 @@ def _carry_exact(x, nout: int):
             [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
         return v + c
 
-    # after 3 passes every limb is in [0, 2^13]
-    x = pass_once(pass_once(pass_once(x)))
+    # after `passes` passes every limb is in [0, 2^13]
+    for _ in range(passes):
+        x = pass_once(x)
 
     # Kogge-Stone carry lookahead over {generate, propagate}
     g = (x >> LIMB_BITS).astype(jnp.uint32)      # limb == 2^13 -> generate
@@ -181,9 +186,9 @@ def _carry_exact(x, nout: int):
     return (x + cin) & LIMB_MASK
 
 
-def _carry_with_out(x, nout: int):
+def _carry_with_out(x, nout: int, passes: int = 2):
     """Like _carry_exact but also returns the 0/1 carry out of limb nout-1."""
-    y = _carry_exact(x, nout + 1)
+    y = _carry_exact(x, nout + 1, passes=passes)
     return y[..., :nout], y[..., nout]
 
 
@@ -209,7 +214,7 @@ def _conv_tables(L: int, width: int):
     return idx, mask
 
 
-_CONV_MODE = os.environ.get("LEGOSNARK_CONV", "pad")
+_CONV_MODE = os.environ.get("LEGOSNARK_CONV", "gather")
 
 
 def _conv_full(a, b):
@@ -225,7 +230,7 @@ def _conv_full(a, b):
     L = a.shape[-1]
     if _CONV_MODE == "gather":
         idx, mask = _conv_tables(L, 2 * L - 1)
-        B = b[..., jnp.asarray(idx)] * jnp.asarray(mask)   # [..., L, 2L-1]
+        B = b[..., _dev_const(idx)] * _dev_const(mask)   # [..., L, 2L-1]
         return jnp.sum(a[..., :, None] * B, axis=-2, dtype=jnp.uint32)
     out = jnp.zeros(a.shape[:-1] + (2 * L - 1,), dtype=jnp.uint32)
     pad_cfg = [(0, 0)] * (a.ndim - 1)
@@ -239,7 +244,7 @@ def _conv_lo(a, b, L: int):
     """Truncated product columns k < L (mod R context)."""
     if _CONV_MODE == "gather":
         idx, mask = _conv_tables(L, L)
-        B = b[..., jnp.asarray(idx)] * jnp.asarray(mask)
+        B = b[..., _dev_const(idx)] * _dev_const(mask)
         return jnp.sum(a[..., :L, None] * B, axis=-2, dtype=jnp.uint32)
     out = jnp.zeros(a.shape[:-1] + (L,), dtype=jnp.uint32)
     pad_cfg = [(0, 0)] * (a.ndim - 1)
@@ -254,9 +259,32 @@ def _conv_lo(a, b, L: int):
 # ---------------------------------------------------------------------------
 
 
+_CONST_CACHE: dict = {}
+
+
+def _dev_const(arr):
+    """jnp constant for a host numpy array, cached by identity.
+
+    jnp.asarray on a concrete numpy array is EAGER — under tracing it
+    triggers a host->device transfer per call. The FieldSpec constant
+    arrays are cached properties (stable ids), so caching here turns
+    thousands of per-traced-op transfers into one (round-1 pathology:
+    tracing through the axon TPU tunnel took 500s for this reason).
+    """
+    key = id(arr)
+    hit = _CONST_CACHE.get(key)
+    if hit is None:
+        # materialize OUTSIDE any active trace so the cache never holds
+        # a tracer (and the transfer happens exactly once)
+        with jax.ensure_compile_time_eval():
+            hit = jnp.asarray(arr)
+        _CONST_CACHE[key] = hit
+    return hit
+
+
 def _const(spec_arr, like):
     """Broadcast a host constant limb vector against a batched array."""
-    c = jnp.asarray(spec_arr)
+    c = _dev_const(spec_arr)
     return jnp.broadcast_to(c, like.shape[:-1] + c.shape)
 
 
@@ -265,14 +293,15 @@ def cond_sub_p(spec: FieldSpec, x):
     L = spec.nlimbs
     s = x + _const(spec.p_comp_limbs, x) + jnp.concatenate(
         [jnp.ones_like(x[..., :1]), jnp.zeros_like(x[..., 1:])], axis=-1)
-    red, cout = _carry_with_out(s, L)
+    red, cout = _carry_with_out(s, L, passes=1)
     geq = (cout > 0)[..., None]
     return jnp.where(geq, red, x)
 
 
 def add(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    s = _carry_exact(a + b, spec.nlimbs)  # a+b < 2p < R, no top overflow
+    # a+b < 2p < R: no top overflow; columns < 2^14 -> 1 carry pass
+    s = _carry_exact(a + b, spec.nlimbs, passes=1)
     return cond_sub_p(spec, s)
 
 
@@ -282,12 +311,23 @@ def neg(spec: FieldSpec, a):
     comp = _const(spec.p_limbs, a) + (LIMB_MASK - a) + jnp.concatenate(
         [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])], axis=-1)
     # carry out of limb L-1 is guaranteed (p >= a); drop it via mod-R carry
-    r = _carry_exact(comp, L)
+    r = _carry_exact(comp, L, passes=1)
     return cond_sub_p(spec, r)
 
 
 def sub(spec: FieldSpec, a, b):
-    return add(spec, a, neg(spec, b))
+    """a - b mod p in ONE carry chain: a + (p - 1 - b) + 1 + p's
+    complement trick — computed as a + p + (R-1-b) + 1 mod R, i.e.
+    a + p - b; result < 2p, finished by cond_sub."""
+    a, b = jnp.broadcast_arrays(a, b)
+    cols = (a + _const(spec.p_limbs, a) + (LIMB_MASK - b)
+            + jnp.concatenate(
+                [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])],
+                axis=-1))
+    # columns <= 3*(2^13-1)+1 < 2^15: one pass; drop the guaranteed
+    # carry out of the top limb (mod R)
+    r = _carry_exact(cols, spec.nlimbs, passes=1)
+    return cond_sub_p(spec, r)
 
 
 def mont_mul(spec: FieldSpec, a, b):
@@ -318,13 +358,13 @@ def from_mont(spec: FieldSpec, x):
 
 
 def zero(spec: FieldSpec, shape=()):
-    return jnp.zeros(tuple(shape) + (spec.nlimbs,), dtype=jnp.uint32)
+    return jnp.broadcast_to(
+        _dev_const(spec.zero_limbs), tuple(shape) + (spec.nlimbs,))
 
 
 def one(spec: FieldSpec, shape=()):
     return jnp.broadcast_to(
-        jnp.asarray(spec.one_mont), tuple(shape) + (spec.nlimbs,)
-    ).astype(jnp.uint32)
+        _dev_const(spec.one_mont), tuple(shape) + (spec.nlimbs,))
 
 
 def is_zero(spec: FieldSpec, a):
@@ -351,8 +391,13 @@ def mont_pow(spec: FieldSpec, a, e: int):
     """
     if e == 0:
         return one(spec, a.shape[:-1])
-    bits = jnp.asarray(
-        np.array([int(c) for c in bin(e)[3:]], dtype=np.uint32))
+    key = ("powbits", e)
+    bits = _CONST_CACHE.get(key)
+    if bits is None:
+        with jax.ensure_compile_time_eval():
+            bits = jnp.asarray(
+                np.array([int(c) for c in bin(e)[3:]], dtype=np.uint32))
+        _CONST_CACHE[key] = bits
     if bits.shape[0] == 0:
         return a
 

@@ -40,6 +40,12 @@ FR = bn254.FR
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} devices "
+            f"are visible (platform {devs[0].platform}); for virtual "
+            "multi-chip set jax_platforms=cpu + "
+            "--xla_force_host_platform_device_count")
     return Mesh(devs[:n], (axis,))
 
 
@@ -78,10 +84,12 @@ def msm_sharded(C: CurveOps, points: Point, scalars, mesh: Mesh,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
+        out_specs=Point(P(), P(), P()),
         check_rep=False)
-    out = fn(points.x, points.y, points.z, scalars)
-    return Point(*out)
+    # jit so the shard_map body executes as ONE compiled program even
+    # when called eagerly (per-op eager dispatch through shard_map is
+    # pathologically slow on the limb engine)
+    return jax.jit(fn)(points.x, points.y, points.z, scalars)
 
 
 def field_sum_sharded(v, mesh: Mesh, axis: str = "data"):
@@ -94,7 +102,7 @@ def field_sum_sharded(v, mesh: Mesh, axis: str = "data"):
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis),
                    out_specs=P(), check_rep=False)
-    return fn(v)
+    return jax.jit(fn)(v)
 
 
 def fold_sharded(table, r, mesh: Mesh, axis: str = "data"):
@@ -106,7 +114,7 @@ def fold_sharded(table, r, mesh: Mesh, axis: str = "data"):
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P()),
                    out_specs=P(axis), check_rep=False)
-    return fn(table, r)
+    return jax.jit(fn)(table, r)
 
 
 def sumcheck_rounds_sharded(tables, challenges, mesh: Mesh,
@@ -118,20 +126,39 @@ def sumcheck_rounds_sharded(tables, challenges, mesh: Mesh,
     ndev = mesh.shape[axis]
     d = challenges.shape[0]
     k = tables.shape[0]
+    assert (1 << d) % ndev == 0, "table must divide over the mesh"
+    # rounds bind LOW index bits (adjacent pairs, on-shard); once the
+    # per-shard width hits 1 the remaining variables ARE the shard
+    # index: all-gather the k singletons and finish replicated.
+    shard_w = (1 << d) // ndev
 
     def local(tabs, chals):
         hs, zs = [], []
-        t = tabs
+        t = tabs                     # [k, shard_w, L], sharded
+        w = shard_w
+        sharded_mode = True
         for i in range(d):
-            # local partial coefficient sums + all-gather + combine
-            local_h = _round_poly_partial(t)
-            g = jax.lax.all_gather(local_h, axis)      # [ndev, k+1, L]
-            h = mle.field_sum(g)
+            if sharded_mode and w == 1:
+                # [k, 1, L] per chip -> replicated [k, ndev, L]
+                g = jax.lax.all_gather(t[:, 0], axis)   # [ndev, k, L]
+                t = jnp.moveaxis(g, 0, 1)               # [k, ndev, L]
+                sharded_mode = False
+            if sharded_mode:
+                local_h = _round_poly_partial(t)
+                g = jax.lax.all_gather(local_h, axis)   # [ndev, k+1, L]
+                h = mle.field_sum(g)
+            else:
+                h = mle.round_poly(t)
             hs.append(h)
             r = chals[i]
             zs.append(mle.poly_eval(h, r))
             t = jax.vmap(lambda tt: mle.fold(tt, r))(t)
-        finals = t[:, 0]
+            w = max(w // 2, 1) if sharded_mode else t.shape[1]
+        if sharded_mode:
+            # all rounds were local (ndev == 1): t is [k, 1, L]
+            finals = t[:, 0]
+        else:
+            finals = t[:, 0]
         z0 = fl.add(FR, mle.poly_eval(hs[0], fl.zero(FR)),
                     mle.poly_eval(hs[0], fl.one(FR)))
         return (jnp.stack(hs), finals,
@@ -140,13 +167,7 @@ def sumcheck_rounds_sharded(tables, challenges, mesh: Mesh,
     fn = shard_map(
         local, mesh=mesh, in_specs=(P(None, axis), P()),
         out_specs=(P(), P(), P()), check_rep=False)
-    h_coeffs, finals_sharded, zs = fn(tables, challenges)
-    # finals: each chip folded its shard fully; combining shards of a
-    # fold is only valid when the shard is the whole table, so this
-    # variant requires 2^d/ndev >= 1 and the finals come from chip 0's
-    # replicated copy once the table collapses — for the dryrun we
-    # recompute finals unsharded.
-    finals = jax.vmap(lambda t: mle.eval_mle(t, challenges))(tables)
+    h_coeffs, finals, zs = jax.jit(fn)(tables, challenges)
     return mle.SumcheckRounds(h_coeffs=h_coeffs, finals=finals, zs=zs)
 
 
