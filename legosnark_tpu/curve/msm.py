@@ -59,122 +59,43 @@ def _all_digits(spec: fl.FieldSpec, scalars, c: int):
     return jnp.stack(cols, axis=0)
 
 
-def _split_cols(n: int, target: int | None = None) -> int:
-    """Pick a column count ~sqrt(n) (power of two) for two-level scans."""
-    if target is not None:
-        return target
-    cols = 1
-    while cols * cols < n:
-        cols *= 2
-    return min(cols, n)
-
-
-def scan_sum(C: CurveOps, p: Point, cols: int | None = None) -> Point:
-    """Sum a batch of points along axis 0 with O(1) traced group ops.
-
-    Two-level: reshape [n] -> [rows, cols]; lax.scan over rows (ONE
-    point-add body, vectorized over cols), then a reverse scan over the
-    cols partials. Work = n adds; traced adds = 2 — this replaces the
-    unrolled `sum_reduce` tree on hot paths, whose log(n) distinct-shape
-    levels made trace/compile time explode (round-1 lesson).
-    """
-    n = p.x.shape[0]
-    if n == 1:
-        return jax.tree.map(lambda x: x[0], p)
-    cols = _split_cols(n, cols)
-    rows = -(-n // cols)
-    if rows * cols != n:
-        pad = rows * cols - n
-        ident = C.identity((pad,))
-        p = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), p, ident)
-    mat = jax.tree.map(
-        lambda x: x.reshape((rows, cols) + x.shape[1:]), p)
-
-    def body(carry, row):
-        return C.add(carry, Point(*row)), None
-
-    colsum, _ = jax.lax.scan(body, C.identity((cols,)), tuple(mat))
-
-    def body2(carry, one):
-        return C.add(carry, Point(*one)), None
-
-    total, _ = jax.lax.scan(body2, C.identity(()), tuple(colsum))
-    return total
-
-
-def _suffix_at(C: CurveOps, ps: Point, idx, cols: int | None = None):
-    """Suffix sums S[q] = sum_{t >= idx[q]} ps[t] at query positions.
-
-    Trace-light two-level scheme: column-major reshape [cols, rows];
-    a reverse lax.scan over rows gives within-column suffixes (ONE
-    traced add, n adds of work); a reverse scan over column totals
-    gives the exclusive cross-column suffixes; each query then costs
-    one gather + one add. idx entries == n return the identity.
-    """
-    n = ps.x.shape[0]
-    cols = _split_cols(n, cols)
-    rows = n // cols
-    assert rows * cols == n, "n must be divisible by cols"
-    # B[c, r] = ps[c*rows + r]; scan wants rows leading
-    B = jax.tree.map(
-        lambda x: jnp.moveaxis(
-            x.reshape((cols, rows) + x.shape[1:]), 1, 0), ps)
-
-    def body(carry, row):
-        nxt = C.add(carry, Point(*row))
-        return nxt, nxt
-
-    colfin, inner = jax.lax.scan(
-        body, C.identity((cols,)), tuple(B), reverse=True)
-    # inner[r, c] = sum_{r' >= r} B[c, r']; colfin[c] = column total
-
-    def body2(carry, one):
-        nxt = C.add(carry, Point(*one))
-        return nxt, carry  # emit EXCLUSIVE suffix
-
-    _, colsuf = jax.lax.scan(
-        body2, C.identity(()), tuple(Point(*colfin)), reverse=True)
-    colsuf = Point(*colsuf)  # [cols]
-
-    q = idx.shape[0]
-    safe = jnp.minimum(idx, n - 1)
-    ci, ri = safe // rows, safe % rows
-    part = jax.tree.map(lambda x: x[ri, ci], Point(*inner))
-    cross = point_index(colsuf, ci)
-    out = C.add(Point(*part), cross)
-    return C.select(idx < n, out, C.identity((q,)))
-
-
 def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
 
     Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
-    (sum of points with digit >= t). All phases are trace-light scans.
+    (sum of points with digit >= t). Every phase runs at FULL vector
+    width with log depth: suffix sums via `associative_scan` of the
+    complete group law (2n adds of work, 2*log2(n) sequential levels),
+    bucket reduction via a c-level pairwise tree. This replaced the
+    round-2 two-level `lax.scan` scheme whose sqrt(n)-step sequential
+    chains left the VPU idle (measured 33k pts/s at 2^16 on v5e; the
+    full-width form is latency-bound only in log factors).
     """
     n = d.shape[0]
     order = jnp.argsort(d)
     d_sorted = d[order]
     ps = point_index(points, order)
 
-    # pad to a two-level-scannable size with identity points whose
-    # sentinel digit 2^c sorts last and never matches a query threshold
-    cols = _split_cols(n)
-    rows = -(-n // cols)
-    npad = rows * cols
-    if npad != n:
-        ps = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0),
-            ps, C.identity((npad - n,)))
-        ps = Point(*ps)
-        d_sorted = jnp.concatenate(
-            [d_sorted,
-             jnp.full((npad - n,), 1 << c, dtype=d_sorted.dtype)])
+    # suffix sums S[i] = sum_{t >= i} ps[t]: reverse, inclusive
+    # associative scan of the (associative, complete) group law, reverse
+    rev = Point(*jax.tree.map(lambda x: jnp.flip(x, 0), ps))
+    acc = jax.lax.associative_scan(C.add, rev, axis=0)
+    suf = Point(*jax.tree.map(lambda x: jnp.flip(x, 0), acc))
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
-    gathered = _suffix_at(C, ps, idx, cols=cols)
-    return scan_sum(C, gathered)
+    safe = jnp.minimum(idx, n - 1)
+    q = point_index(suf, safe)
+    q = C.select(idx < n, q, C.identity((ts.shape[0],)))
+    return _tree_reduce_axis0(C, q)
+
+
+def _window_chunk(n: int, W: int) -> int:
+    """Windows per `lax.map` chunk: cap chunk*n points live at once so
+    the per-window sorted copies + scan intermediates stay well inside
+    HBM (a 2^18-point window is ~63 MB per projective coordinate)."""
+    budget = 1 << 21
+    return max(1, min(W, budget // max(n, 1)))
 
 
 def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
@@ -193,10 +114,15 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
         env = os.environ.get("LEGOSNARK_MSM_C")
         c = int(env) if env else config.default_window(scalars.shape[0])
     assert 1 <= c <= fl.LIMB_BITS
+    n = scalars.shape[0]
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
+    W = digits.shape[0]
 
+    # all windows batched (vmapped in memory-bounded chunks): the sorts,
+    # scans and bucket trees run W-wide, not W-sequential
     window_fn = functools.partial(_window_sum, C, points, c=c)
-    S = jax.lax.map(window_fn, digits)  # Point stacked over W windows
+    S = jax.lax.map(window_fn, digits,
+                    batch_size=_window_chunk(n, W))  # Point over W windows
 
     # Horner combine from the most significant window down:
     # acc = ((S_{W-1} * 2^c + S_{W-2}) * 2^c + ...) + S_0

@@ -18,9 +18,15 @@ Design (TPU-first, not a translation):
   overflow: NLIMB * (2^13-1)^2 < 2^31 for NLIMB <= 32. TPU has no
   64-bit integer units, so this keeps every op on the 32-bit VPU.
 * Montgomery arithmetic with R = 2^(13*NLIMB). Carry normalization is
-  branchless: three magnitude-reduction passes bring every limb into
-  [0, 2^13], then a Kogge-Stone carry-lookahead (log2 NLIMB steps)
-  resolves residual carry chains exactly.
+  branchless: magnitude-reduction passes shrink limbs, then a
+  Kogge-Stone carry-lookahead (log2 NLIMB steps) resolves residual
+  carry chains exactly; multiplication intermediates use cheap "loose"
+  carries without the KS sweep (`_carry_loose`).
+* Values live in the REDUNDANT domain [0, 2p) with canonical 13-bit
+  limbs: add/sub/neg reduce modulo 2p, `mont_mul` output is < 1.1p,
+  and only `canon` / `from_mont` / comparisons pay the final
+  conditional subtract of p. This halves the XLA graph size of the
+  group law, which dominates both compile time and VPU work.
 
 Nothing here is specific to BN254; `FieldSpec` works for any odd
 modulus below 13*NLIMB bits.
@@ -107,6 +113,15 @@ class FieldSpec:
         return int_to_limbs(self.R - 1 - self.p, self.nlimbs)
 
     @functools.cached_property
+    def p2_limbs(self):
+        return int_to_limbs(2 * self.p, self.nlimbs)
+
+    @functools.cached_property
+    def p2_comp_limbs(self):
+        # (R - 1) - 2p, for the branchless redundant-domain reduction
+        return int_to_limbs(self.R - 1 - 2 * self.p, self.nlimbs)
+
+    @functools.cached_property
     def r2_limbs(self):
         return int_to_limbs(self.R2, self.nlimbs)
 
@@ -170,19 +185,21 @@ def _carry_exact(x, nout: int, passes: int = 2):
     for _ in range(passes):
         x = pass_once(x)
 
-    # Kogge-Stone carry lookahead over {generate, propagate}
-    g = (x >> LIMB_BITS).astype(jnp.uint32)      # limb == 2^13 -> generate
-    pr = (x == LIMB_MASK).astype(jnp.uint32)     # limb == mask -> propagate
-    shift = 1
-    while shift < nout:
-        g_prev = jnp.pad(g, [(0, 0)] * (g.ndim - 1) + [(shift, 0)])[..., :nout]
-        p_prev = jnp.pad(pr, [(0, 0)] * (g.ndim - 1) + [(shift, 0)])[..., :nout]
-        g = g | (pr & g_prev)
-        pr = pr & p_prev
-        shift *= 2
-    # carry INTO limb i is the lookahead carry OUT of limb i-1
+    # Exact carry resolution via ONE cumulative max instead of a
+    # log2(L)-step Kogge-Stone ladder: the carry INTO limb i is 1 iff
+    # the nearest limb j <= i-1 that is not a propagator (limb==mask)
+    # is a generator (limb==2^13). Encode per limb
+    #   t_j = 2j+1 (generate) | 2j (kill) | 0 (propagate)
+    # — cummax picks the nearest non-propagator below (higher j wins),
+    # and its parity says generate/kill. 3 HLO-level ops replace the
+    # 5-iteration ladder; XLA lowers cummax in log depth anyway.
+    g = x >> LIMB_BITS                           # limb == 2^13 -> 1
+    pr = x == LIMB_MASK                          # limb == mask -> propagate
+    j2 = jnp.arange(2, 2 * nout + 2, 2, dtype=jnp.uint32)
+    t = jnp.where(pr, jnp.uint32(0), j2 + g)
+    m = jax.lax.cummax(t, axis=x.ndim - 1)
     cin = jnp.concatenate(
-        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+        [jnp.zeros_like(m[..., :1]), (m[..., :-1] & 1)], axis=-1)
     return (x + cin) & LIMB_MASK
 
 
@@ -190,6 +207,30 @@ def _carry_with_out(x, nout: int, passes: int = 2):
     """Like _carry_exact but also returns the 0/1 carry out of limb nout-1."""
     y = _carry_exact(x, nout + 1, passes=passes)
     return y[..., :nout], y[..., nout]
+
+
+def _carry_loose(x, nout: int):
+    """Cheap 2-pass carry: limbs land in [0, 2^13 + 63] (NOT canonical).
+
+    Skips the Kogge-Stone sweep — the expensive exact tail of
+    `_carry_exact` — for intermediates that only feed another
+    convolution. Loose limbs represent the same integer; conv columns
+    stay safe: NLIMB * (2^13+63)^2 + 2^13 < 2^31 for NLIMB <= 20. This
+    halves the HLO count of `mont_mul`, which dominates XLA compile
+    time for every kernel in the framework.
+    """
+    k = x.shape[-1]
+    if k < nout:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nout - k)])
+    elif k > nout:
+        x = x[..., :nout]
+    for _ in range(2):
+        c = x >> LIMB_BITS
+        x = x & LIMB_MASK
+        c = jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        x = x + c
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -298,49 +339,76 @@ def cond_sub_p(spec: FieldSpec, x):
     return jnp.where(geq, red, x)
 
 
+def cond_sub_2p(spec: FieldSpec, x):
+    """x - 2p if x >= 2p else x  (x < 4p) — the redundant-domain
+    reduction: every field op keeps values in [0, 2p) with canonical
+    13-bit limbs; only `canon`/comparisons/serialization pay for the
+    final conditional subtract of p."""
+    L = spec.nlimbs
+    s = x + _const(spec.p2_comp_limbs, x) + jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), jnp.zeros_like(x[..., 1:])], axis=-1)
+    red, cout = _carry_with_out(s, L, passes=1)
+    geq = (cout > 0)[..., None]
+    return jnp.where(geq, red, x)
+
+
+def canon(spec: FieldSpec, x):
+    """Canonical representative (< p) of a redundant-domain value < 2p."""
+    return cond_sub_p(spec, x)
+
+
 def add(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    # a+b < 2p < R: no top overflow; columns < 2^14 -> 1 carry pass
+    # a, b < 2p: a+b < 4p < R, no top overflow; columns < 2^14 -> 1 pass
     s = _carry_exact(a + b, spec.nlimbs, passes=1)
-    return cond_sub_p(spec, s)
+    return cond_sub_2p(spec, s)
 
 
 def neg(spec: FieldSpec, a):
-    """p - a for a in [0, p); maps 0 -> p, fixed by cond_sub."""
+    """2p - a for a in [0, 2p); maps 0 -> 2p, fixed by cond_sub_2p."""
     L = spec.nlimbs
-    comp = _const(spec.p_limbs, a) + (LIMB_MASK - a) + jnp.concatenate(
+    comp = _const(spec.p2_limbs, a) + (LIMB_MASK - a) + jnp.concatenate(
         [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])], axis=-1)
-    # carry out of limb L-1 is guaranteed (p >= a); drop it via mod-R carry
+    # carry out of limb L-1 is guaranteed (2p >= a); drop it mod R
     r = _carry_exact(comp, L, passes=1)
-    return cond_sub_p(spec, r)
+    return cond_sub_2p(spec, r)
 
 
 def sub(spec: FieldSpec, a, b):
-    """a - b mod p in ONE carry chain: a + (p - 1 - b) + 1 + p's
-    complement trick — computed as a + p + (R-1-b) + 1 mod R, i.e.
-    a + p - b; result < 2p, finished by cond_sub."""
+    """a - b mod p in ONE carry chain via the complement trick:
+    a + 2p + (R-1-b) + 1 mod R = a + 2p - b in (0, 4p), finished by
+    cond_sub_2p (a, b in the redundant domain [0, 2p))."""
     a, b = jnp.broadcast_arrays(a, b)
-    cols = (a + _const(spec.p_limbs, a) + (LIMB_MASK - b)
+    cols = (a + _const(spec.p2_limbs, a) + (LIMB_MASK - b)
             + jnp.concatenate(
                 [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])],
                 axis=-1))
     # columns <= 3*(2^13-1)+1 < 2^15: one pass; drop the guaranteed
     # carry out of the top limb (mod R)
     r = _carry_exact(cols, spec.nlimbs, passes=1)
-    return cond_sub_p(spec, r)
+    return cond_sub_2p(spec, r)
 
 
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a*b*R^-1 mod p, for canonical a, b < p."""
+    """Montgomery product a*b*R^-1 mod p for a, b < 2p (canonical
+    13-bit limbs); result < 1.1p — the ops form a stable redundant
+    domain [0, 2p) and only `canon` pays for the final subtract.
+
+    Magnitude audit (L = 20, 13-bit limbs): t = a*b < 4p^2 so
+    t/R < 0.06p; the loose m representation has value m' < 1.01R so
+    u = t + m'*p < (0.06 + 1.02)p*R < 2pR, and every convolution
+    column stays under 20*(2^13+63)^2 + 2^13 < 2^31."""
     L = spec.nlimbs
     a, b = jnp.broadcast_arrays(a, b)
-    t = _carry_exact(_conv_full(a, b), 2 * L)          # a*b, 13-bit limbs
-    m = _carry_exact(_conv_lo(t[..., :L], _const(spec.ninv_limbs, t), L), L)
+    # intermediate carries are LOOSE (limbs <= 2^13+63): only the final
+    # normalization needs canonical limbs, and the column magnitudes
+    # stay under 2^31 throughout (see _carry_loose)
+    t = _carry_loose(_conv_full(a, b), 2 * L)          # a*b
+    m = _carry_loose(_conv_lo(t[..., :L], _const(spec.ninv_limbs, t), L), L)
     u = _conv_full(m, _const(spec.p_limbs, m))         # m*p columns
     u = jnp.pad(u, [(0, 0)] * (u.ndim - 1) + [(0, 1)]) + t
     u = _carry_exact(u, 2 * L)                         # low L limbs == 0
-    res = u[..., L:]
-    return cond_sub_p(spec, res)
+    return u[..., L:]
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -352,9 +420,11 @@ def to_mont(spec: FieldSpec, x):
 
 
 def from_mont(spec: FieldSpec, x):
+    """Montgomery -> CANONICAL standard form (< p): the output feeds
+    MSM digit extraction and serialization, which read true bits."""
     one = np.zeros((spec.nlimbs,), dtype=np.uint32)
     one[0] = 1
-    return mont_mul(spec, x, _const(one, x))
+    return canon(spec, mont_mul(spec, x, _const(one, x)))
 
 
 def zero(spec: FieldSpec, shape=()):
@@ -368,12 +438,12 @@ def one(spec: FieldSpec, shape=()):
 
 
 def is_zero(spec: FieldSpec, a):
-    """Boolean mask [...,] — canonical representation is unique."""
-    return jnp.all(a == 0, axis=-1)
+    """Boolean mask [...]: the redundant domain represents 0 as 0 or p."""
+    return jnp.all(canon(spec, a) == 0, axis=-1)
 
 
 def eq(spec: FieldSpec, a, b):
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(canon(spec, a) == canon(spec, b), axis=-1)
 
 
 def select(cond, a, b):

@@ -163,10 +163,12 @@ class Fq2Ops:
         return self.pack(F.one(shape), F.zero(shape))
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=(-1, -2))
+        # redundant domain: canonicalize each Fq coefficient first
+        return jnp.all(fl.canon(self.spec, a) == 0, axis=(-1, -2))
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=(-1, -2))
+        return jnp.all(fl.canon(self.spec, a) == fl.canon(self.spec, b),
+                       axis=(-1, -2))
 
     def select(self, c, a, b):
         return jnp.where(c[..., None, None], a, b)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import limb as fl
 from .ops import FqOps, Fq2Ops
 
 
@@ -93,7 +94,9 @@ class Fq6Ops:
         return self.pack(F.one(shape), F.zero(shape), F.zero(shape))
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=(-1, -2, -3))
+        spec = self.f2.spec
+        return jnp.all(fl.canon(spec, a) == fl.canon(spec, b),
+                       axis=(-1, -2, -3))
 
     def select(self, c, a, b):
         return jnp.where(c[..., None, None, None], a, b)
@@ -158,7 +161,9 @@ class Fq12Ops:
         return self.pack(F.one(shape), F.zero(shape))
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=(-1, -2, -3, -4))
+        spec = self.f6.f2.spec
+        return jnp.all(fl.canon(spec, a) == fl.canon(spec, b),
+                       axis=(-1, -2, -3, -4))
 
     def is_one(self, a):
         return self.eq(a, self.one(a.shape[:-4]))

@@ -34,10 +34,15 @@ def test_add_sub_neg(spec):
     add = fl.limbs_to_ints(np.asarray(jax.jit(fl.add, static_argnums=0)(spec, a, b)))
     sub = fl.limbs_to_ints(np.asarray(jax.jit(fl.sub, static_argnums=0)(spec, a, b)))
     ng = fl.limbs_to_ints(np.asarray(jax.jit(fl.neg, static_argnums=0)(spec, b)))
+    # ops keep values in the redundant domain [0, 2p): compare mod p
+    # and assert the domain invariant
     for i, (x, y) in enumerate(zip(xs, ys)):
-        assert int(add[i]) == (x + y) % spec.p
-        assert int(sub[i]) == (x - y) % spec.p
-        assert int(ng[i]) == (-y) % spec.p
+        assert int(add[i]) % spec.p == (x + y) % spec.p
+        assert int(add[i]) < 2 * spec.p
+        assert int(sub[i]) % spec.p == (x - y) % spec.p
+        assert int(sub[i]) < 2 * spec.p
+        assert int(ng[i]) % spec.p == (-y) % spec.p
+        assert int(ng[i]) < 2 * spec.p
 
 
 @pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
@@ -88,13 +93,15 @@ def test_carry_worst_case_chains():
     a = to_limbs_batch(FR, [FR.p - 1])
     b = to_limbs_batch(FR, [1])
     s = np.asarray(fl.add(FR, a, b))
-    assert fl.limbs_to_int(s[0]) == 0
+    assert fl.limbs_to_int(s[0]) % FR.p == 0
     # value with long runs of MASK limbs
     chain = (1 << (13 * (L - 1))) - 1  # limbs: MASK * (L-1)
     x = chain % FR.p
     y = (FR.p - chain) % FR.p
     s2 = np.asarray(fl.add(FR, to_limbs_batch(FR, [x]), to_limbs_batch(FR, [y])))
-    assert fl.limbs_to_int(s2[0]) == 0
+    assert fl.limbs_to_int(s2[0]) % FR.p == 0
+    # canon maps every representative back below p
+    assert fl.limbs_to_int(np.asarray(fl.canon(FR, s2))[0]) == 0
 
 
 def test_get_window():
