@@ -9,8 +9,9 @@ one straight-line formula handles generic adds, doublings and the
 identity with zero data-dependent branches — exactly what a vector unit
 wants. Identity is the projective point (0 : 1 : 0).
 
-All functions are batched over leading axes and generic over the field
-via a `FieldOps` object, so the same code drives G1 (Fq) and G2 (Fq2).
+All functions are batched (leading axes + the trailing vector axis, see
+fields/limb.py) and generic over the field via a `FieldOps` object, so
+the same code drives G1 (Fq) and G2 (Fq2).
 """
 from __future__ import annotations
 
@@ -31,6 +32,15 @@ class Point(NamedTuple):
     x: Any
     y: Any
     z: Any
+
+
+def point_map(f, *ps: Point) -> Point:
+    return Point(*(f(*xs) for xs in zip(*ps)))
+
+
+def point_stack(ps, axis: int = 0) -> Point:
+    """Stack a list of equal-shaped point batches on a new leading axis."""
+    return Point(*(jnp.stack(list(xs), axis=axis) for xs in zip(*ps)))
 
 
 class CurveOps:
@@ -147,12 +157,12 @@ class CurveOps:
     # -- scalar multiplication --------------------------------------------
     def scalar_mul(self, p: Point, k):
         """[k]P for k an Fr element in canonical (non-Montgomery) limb
-        form [..., L]; batched. Double-and-add via lax.scan over all
+        form [..., L, V]; batched. Double-and-add via lax.scan over all
         scalar bits (MSB first) — one add+double body compiled."""
         nbits = fl.LIMB_BITS * bn254.FR.nlimbs
         # bit i of the scalar, MSB-first sequence
         def body(acc, i):
-            bit_limb = k[..., (nbits - 1 - i) // fl.LIMB_BITS]
+            bit_limb = jnp.take(k, (nbits - 1 - i) // fl.LIMB_BITS, axis=-2)
             bit = (bit_limb >> ((nbits - 1 - i) % fl.LIMB_BITS)) & 1
             acc = self.double(acc)
             cand = self.add(acc, p)
@@ -165,23 +175,20 @@ class CurveOps:
 
     # -- reductions --------------------------------------------------------
     def sum_reduce(self, p: Point) -> Point:
-        """Tree-sum of a batch of points along axis 0 -> single point."""
-        n = p.x.shape[0]
+        """Tree-sum of a batch of points along the VECTOR (last) axis ->
+        single point (V=1). Contiguous halving keeps lane slices
+        aligned."""
+        n = p.x.shape[-1]
         while n > 1:
-            half = n // 2
-            even = Point(p.x[: 2 * half : 2], p.y[: 2 * half : 2],
-                         p.z[: 2 * half : 2])
-            odd = Point(p.x[1 : 2 * half : 2], p.y[1 : 2 * half : 2],
-                        p.z[1 : 2 * half : 2])
-            s = self.add(even, odd)
+            h = n // 2
+            s = self.add(point_map(lambda a: a[..., :h], p),
+                         point_map(lambda a: a[..., h : 2 * h], p))
             if n % 2:
-                s = Point(
-                    jnp.concatenate([s.x, p.x[-1:]], 0),
-                    jnp.concatenate([s.y, p.y[-1:]], 0),
-                    jnp.concatenate([s.z, p.z[-1:]], 0))
+                s = point_map(
+                    lambda a, b: jnp.concatenate([a, b[..., -1:]], -1), s, p)
             p = s
             n = (n + 1) // 2
-        return Point(p.x[0], p.y[0], p.z[0])
+        return p
 
 
 # ---------------------------------------------------------------------------
@@ -200,18 +207,14 @@ FR_OPS = FqOps(bn254.FR)
 
 
 def g1_generator(shape=()) -> Point:
-    x = jnp.broadcast_to(_fq.const(bn254.G1_GEN[0]),
-                         tuple(shape) + _fq.suffix)
-    y = jnp.broadcast_to(_fq.const(bn254.G1_GEN[1]),
-                         tuple(shape) + _fq.suffix)
+    x = _fq.bcast(_fq.const(bn254.G1_GEN[0]), shape)
+    y = _fq.bcast(_fq.const(bn254.G1_GEN[1]), shape)
     return G1.from_affine(x, y)
 
 
 def g2_generator(shape=()) -> Point:
-    x = jnp.broadcast_to(_fq2.const(bn254.G2_GEN_X),
-                         tuple(shape) + _fq2.suffix)
-    y = jnp.broadcast_to(_fq2.const(bn254.G2_GEN_Y),
-                         tuple(shape) + _fq2.suffix)
+    x = _fq2.bcast(_fq2.const(bn254.G2_GEN_X), shape)
+    y = _fq2.bcast(_fq2.const(bn254.G2_GEN_Y), shape)
     return G2.from_affine(x, y)
 
 
@@ -226,32 +229,32 @@ def _g2_affine(p: Point):
 
 
 def g1_to_oracle(p: Point):
-    """Single G1 point -> python int affine pair or None (for tests)."""
+    """Single G1 point [L, 1] -> python int affine pair or None."""
     x, y, is_id = _g1_affine(p)
-    if bool(np.asarray(is_id)):
+    if bool(np.asarray(is_id).reshape(-1)[0]):
         return None
     return (_fq.to_int(x), _fq.to_int(y))
 
 
 def g1_to_oracle_batch(p: Point):
-    """Batched [n, ...] G1 points -> list of int pairs / None. One jitted
+    """Batched [L, n] G1 points -> list of int pairs / None. One jitted
     affine conversion for the whole batch (eager per-point conversion is
     pathologically slow on the limb engine)."""
     x, y, is_id = _g1_affine(p)
     x, y, is_id = np.asarray(x), np.asarray(y), np.asarray(is_id)
     out = []
-    for i in range(x.shape[0]):
-        if is_id[i]:
+    for i in range(x.shape[-1]):
+        if is_id[..., i]:
             out.append(None)
         else:
-            out.append((_fq.spec.from_mont_limbs(x[i]),
-                        _fq.spec.from_mont_limbs(y[i])))
+            out.append((_fq.spec.from_mont_limbs(x[..., :, i]),
+                        _fq.spec.from_mont_limbs(y[..., :, i])))
     return out
 
 
 def g2_to_oracle(p: Point):
     x, y, is_id = _g2_affine(p)
-    if bool(np.asarray(is_id)):
+    if bool(np.asarray(is_id).reshape(-1)[0]):
         return None
     return (_fq2.to_ints(x), _fq2.to_ints(y))
 
@@ -260,21 +263,21 @@ def g2_to_oracle_batch(p: Point):
     x, y, is_id = _g2_affine(p)
     x, y, is_id = np.asarray(x), np.asarray(y), np.asarray(is_id)
     out = []
-    for i in range(x.shape[0]):
-        if is_id[i]:
+    for i in range(x.shape[-1]):
+        if is_id[..., i]:
             out.append(None)
         else:
             out.append((
-                (_fq.spec.from_mont_limbs(x[i, 0]),
-                 _fq.spec.from_mont_limbs(x[i, 1])),
-                (_fq.spec.from_mont_limbs(y[i, 0]),
-                 _fq.spec.from_mont_limbs(y[i, 1])),
+                (_fq.spec.from_mont_limbs(x[0, :, i]),
+                 _fq.spec.from_mont_limbs(x[1, :, i])),
+                (_fq.spec.from_mont_limbs(y[0, :, i]),
+                 _fq.spec.from_mont_limbs(y[1, :, i])),
             ))
     return out
 
 
 def g1_from_oracle(pts) -> Point:
-    """List of (x, y) int pairs / None -> batched Point."""
+    """List of (x, y) int pairs / None -> batched Point [L, n]."""
     xs, ys, zs = [], [], []
     for p in pts:
         if p is None:

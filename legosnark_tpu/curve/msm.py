@@ -17,16 +17,18 @@ replaces the bucket phase with *sort + suffix-scan*:
        complete group law — log-depth, ~2n point-adds of vector work)
     3. window sum  = sum_{t=1}^{2^c-1} S[first index with digit >= t]
        — the standard identity  sum_b b*B_b = sum_t sum_{b>=t} B_b,
-       realized as a searchsorted-gather plus a c-level tree reduction.
+       realized as a searchsorted-gather plus a tree reduction.
 
 Everything is branchless (complete addition handles identity/doubling
 cases), statically shaped, and batched — jit/shard_map friendly. With
 c = 13 a window is exactly one 13-bit limb of the scalar, so digit
-extraction is a plain column read.
+extraction is a plain row read.
 
-Scalars are canonical (non-Montgomery) Fr limb vectors [n, L]; points
-are projective `Point` batches. The same code serves G1 and G2 (the
-group law is generic over the field ops).
+Layout: scalars are canonical (non-Montgomery) Fr limb arrays [L, n]
+(limb axis sublane, point axis lane — see fields/limb.py); points are
+projective `Point` batches with coords [L, n] (G1) / [2, L, n] (G2).
+The same code serves G1 and G2 (the group law is generic over the
+field ops).
 """
 from __future__ import annotations
 
@@ -36,13 +38,13 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import limb as fl
-from .group import Point, CurveOps
+from .group import Point, CurveOps, point_map
 from . import bn254
 
 
 def point_index(p: Point, idx) -> Point:
-    """Gather points along the leading axis."""
-    return Point(p.x[idx], p.y[idx], p.z[idx])
+    """Gather points along the vector (last) axis."""
+    return point_map(lambda a: jnp.take(a, idx, axis=-1), p)
 
 
 def _num_windows(bits: int, c: int) -> int:
@@ -50,11 +52,11 @@ def _num_windows(bits: int, c: int) -> int:
 
 
 def _all_digits(spec: fl.FieldSpec, scalars, c: int):
-    """[W, n] uint32 digit matrix from canonical scalars [n, L]."""
+    """[W, n] uint32 digit matrix from canonical scalars [L, n]."""
     bits = fl.LIMB_BITS * spec.nlimbs
     W = _num_windows(bits, c)
     if c == fl.LIMB_BITS:
-        return jnp.moveaxis(scalars, -1, 0)
+        return scalars  # one limb per window: rows ARE the digits
     cols = [fl.get_window(spec, scalars, j * c, c) for j in range(W)]
     return jnp.stack(cols, axis=0)
 
@@ -66,10 +68,7 @@ def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
     (sum of points with digit >= t). Every phase runs at FULL vector
     width with log depth: suffix sums via `associative_scan` of the
     complete group law (2n adds of work, 2*log2(n) sequential levels),
-    bucket reduction via a c-level pairwise tree. This replaced the
-    round-2 two-level `lax.scan` scheme whose sqrt(n)-step sequential
-    chains left the VPU idle (measured 33k pts/s at 2^16 on v5e; the
-    full-width form is latency-bound only in log factors).
+    bucket reduction via a c-level pairwise tree.
     """
     n = d.shape[0]
     order = jnp.argsort(d)
@@ -78,22 +77,24 @@ def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
 
     # suffix sums S[i] = sum_{t >= i} ps[t]: reverse, inclusive
     # associative scan of the (associative, complete) group law, reverse
-    rev = Point(*jax.tree.map(lambda x: jnp.flip(x, 0), ps))
-    acc = jax.lax.associative_scan(C.add, rev, axis=0)
-    suf = Point(*jax.tree.map(lambda x: jnp.flip(x, 0), acc))
+    rev = point_map(lambda x: jnp.flip(x, -1), ps)
+    nd = rev.x.ndim
+    acc = jax.lax.associative_scan(C.add, rev, axis=nd - 1)
+    suf = point_map(lambda x: jnp.flip(x, -1), acc)
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
     safe = jnp.minimum(idx, n - 1)
     q = point_index(suf, safe)
     q = C.select(idx < n, q, C.identity((ts.shape[0],)))
-    return _tree_reduce_axis0(C, q)
+    return C.sum_reduce(q)
 
 
 def _window_chunk(n: int, W: int) -> int:
-    """Windows per `lax.map` chunk: cap chunk*n points live at once so
-    the per-window sorted copies + scan intermediates stay well inside
-    HBM (a 2^18-point window is ~63 MB per projective coordinate)."""
+    """Windows per `lax.map` chunk: cap chunk*n live points so the
+    per-window sorted copies + scan intermediates stay inside HBM
+    (a projective point is ~288 B with 24-sublane padding; 2^21 points
+    in flight is ~0.6 GB plus scan temps)."""
     budget = 1 << 21
     return max(1, min(W, budget // max(n, 1)))
 
@@ -102,31 +103,31 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
         fr_spec: fl.FieldSpec = bn254.FR) -> Point:
     """Variable-base MSM: sum_i scalars_i * points_i.
 
-    `scalars`: canonical Fr limbs [n, L]. `points`: Point batch [n].
-    Returns a single projective Point. Fully jittable; static shapes.
-    Window size defaults to `config.default_window(n)` (override with
-    the LEGOSNARK_MSM_C env var — tests use a small window so the
-    bucket phase stays cheap on the CPU mesh).
+    `scalars`: canonical Fr limbs [L, n]. `points`: Point batch [.., n].
+    Returns a single projective Point ([L, 1] coords). Fully jittable;
+    static shapes. Window size defaults to `config.default_window(n)`
+    (override with the LEGOSNARK_MSM_C env var — tests use a small
+    window so the bucket phase stays cheap on the CPU mesh).
     """
     if c is None:
         from .. import config
         import os
         env = os.environ.get("LEGOSNARK_MSM_C")
-        c = int(env) if env else config.default_window(scalars.shape[0])
+        c = int(env) if env else config.default_window(scalars.shape[-1])
     assert 1 <= c <= fl.LIMB_BITS
-    n = scalars.shape[0]
+    n = scalars.shape[-1]
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
     W = digits.shape[0]
 
-    # all windows batched (vmapped in memory-bounded chunks): the sorts,
-    # scans and bucket trees run W-wide, not W-sequential
+    # all windows batched (mapped in memory-bounded chunks): the sorts,
+    # scans and bucket trees run n-wide
     window_fn = functools.partial(_window_sum, C, points, c=c)
     S = jax.lax.map(window_fn, digits,
-                    batch_size=_window_chunk(n, W))  # Point over W windows
+                    batch_size=_window_chunk(n, W))  # coords [W, L, 1]
 
     # Horner combine from the most significant window down:
     # acc = ((S_{W-1} * 2^c + S_{W-2}) * 2^c + ...) + S_0
-    S_rev = jax.tree.map(lambda x: x[::-1], S)
+    S_rev = point_map(lambda x: x[::-1], S)
 
     def horner(acc, s):
         acc = jax.lax.fori_loop(0, c, lambda _, a: C.double(a), acc)
@@ -150,7 +151,7 @@ def msm_mont(C: CurveOps, points: Point, scalars_mont, c: int | None = None,
 
 def fixed_base_table(C: CurveOps, base: Point, c: int = 8,
                      bits: int = fl.LIMB_BITS * bn254.FR.nlimbs) -> Point:
-    """Window table T[j, m] = m * 2^(c*j) * base, shape [W, 2^c].
+    """Window table T[j, m] = m * 2^(c*j) * base, batch shape [W, 2^c].
 
     The TPU equivalent of libff's `get_window_table`
     (`/root/reference/src/utils/util.h:130`). Built once per base;
@@ -165,12 +166,12 @@ def fixed_base_table(C: CurveOps, base: Point, c: int = 8,
             nxt = C.double(nxt)
         return nxt, q
 
-    _, Qs = jax.lax.scan(step, base, None, length=W)  # [W] points
+    _, Qs = jax.lax.scan(step, base, None, length=W)  # coords [W, .., L, 1]
+    # -> batch shape (W,): coords [.., L, W]
+    Qs = point_map(lambda x: jnp.moveaxis(x, 0, -1)[..., 0, :], Point(*Qs))
 
-    # row j: [identity, Q, 2Q, ..., (2^c-1) Q] — a lax.scan that keeps a
-    # running [W]-vector of multiples (ONE traced add; 2^c-1 steps)
-    Qs = Point(*Qs)
-
+    # multiples m*Q_j for m = 1..2^c-1: a lax.scan that keeps a running
+    # (W,)-batch of multiples (ONE traced add; 2^c-1 steps)
     def step2(carry, _):
         nxt = C.add(Point(*carry), Qs)
         return tuple(nxt), carry
@@ -178,13 +179,18 @@ def fixed_base_table(C: CurveOps, base: Point, c: int = 8,
     _, mults = jax.lax.scan(
         step2, tuple(C.add(C.identity((W,)), Qs)), None,
         length=(1 << c) - 1)
-    # mults[m, j] = (m+1) * Q_j for m = 0 .. 2^c-2
-    ident = C.identity((1, W))
-    return Point(
-        jnp.moveaxis(jnp.concatenate([ident.x, mults[0]], axis=0), 0, 1),
-        jnp.moveaxis(jnp.concatenate([ident.y, mults[1]], axis=0), 0, 1),
-        jnp.moveaxis(jnp.concatenate([ident.z, mults[2]], axis=0), 0, 1),
-    )
+    # mults leaves: [2^c-1, .., L, W]; want batch (W, 2^c) = [W, .., L, 2^c]
+    ident = C.identity((W, 1))
+
+    # per leaf: [2^c-1, .., L, W] -> [W, .., L, 2^c-1]
+    def to_table(m_leaf):
+        m = jnp.moveaxis(m_leaf, 0, -1)       # [.., L, W, 2^c-1]
+        m = jnp.moveaxis(m, -2, 0)            # [W, .., L, 2^c-1]
+        return m
+
+    mults_t = [to_table(m) for m in mults]
+    return Point(*(jnp.concatenate([i, m], axis=-1)
+                   for i, m in zip(ident, mults_t)))
 
 
 def batch_scalar_mul(C: CurveOps, table: Point, scalars, c: int = 8,
@@ -195,32 +201,31 @@ def batch_scalar_mul(C: CurveOps, table: Point, scalars, c: int = 8,
     (`/root/reference/src/utils/util.h:131-133`): per scalar, gather one
     table point per window and tree-add the W windows — ~log2(W) group
     adds per scalar instead of ~2*254 for double-and-add.
+    scalars: canonical [L, n]; returns Point batch [.., L, n].
     """
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
     W = digits.shape[0]
     assert W <= table.x.shape[0], "table too small for scalar bit-length"
 
-    # gather: parts[j, i] = table[j, digits[j, i]]
-    parts = jax.lax.map(
-        lambda jr: point_index(point_index(table, jr[0]), jr[1]),
-        (jnp.arange(W), digits))
+    # parts[j] = table[j, digits[j]]: gather each table row by its digits
+    parts = jax.vmap(point_index)(
+        point_map(lambda x: x[:W], table), digits)  # [W, .., L, n]
 
     # tree-reduce over the window axis (leading)
-    return _tree_reduce_axis0(C, parts)
+    return tree_reduce_leading(C, parts)
 
 
-def _tree_reduce_axis0(C: CurveOps, p: Point) -> Point:
+def tree_reduce_leading(C: CurveOps, p: Point) -> Point:
     """Tree-sum over axis 0 keeping remaining batch axes."""
     n = p.x.shape[0]
     while n > 1:
         half = n // 2
-        even = jax.tree.map(lambda x: x[0 : 2 * half : 2], p)
-        odd = jax.tree.map(lambda x: x[1 : 2 * half : 2], p)
-        s = C.add(Point(*even), Point(*odd))
+        even = point_map(lambda x: x[0 : 2 * half : 2], p)
+        odd = point_map(lambda x: x[1 : 2 * half : 2], p)
+        s = C.add(even, odd)
         if n % 2:
-            s = jax.tree.map(
+            s = point_map(
                 lambda a, b: jnp.concatenate([a, b[-1:]], 0), s, p)
-            s = Point(*s)
         p = s
         n = (n + 1) // 2
-    return jax.tree.map(lambda x: x[0], p)
+    return point_map(lambda x: x[0], p)

@@ -12,9 +12,10 @@ twist (Costello–Lange–Naehrig; the same shape arkworks/libff use), line
 values in sparse `c0 + (c3 + c4 v) w` form folded with `mul_by_034`,
 loop over the static bits of 6x+2 via `lax.scan` (one compiled body),
 and the standard x-adic hard-part addition chain for the final
-exponentiation. All functions batch over leading axes; identities are
-handled by masks at the API boundary (`multi_pairing_check`), not by
-branches inside the loop.
+exponentiation. All functions batch over the trailing vector axis
+(pairs live on the lane dimension — see fields/limb.py); identities
+are handled by masks at the API boundary (`multi_pairing_check`), not
+by branches inside the loop.
 """
 from __future__ import annotations
 
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 from ..fields.ops import FqOps, Fq2Ops
 from ..fields.tower import Fq6Ops, Fq12Ops
 from . import bn254
-from .group import Point, G1, G2, FQ_OPS, FQ2_OPS
+from .group import Point, G1, G2, FQ_OPS, FQ2_OPS, point_map
 
 F1 = FQ_OPS
 F2 = FQ2_OPS
@@ -44,7 +45,7 @@ def _consts():
     """Device constants: Frobenius gammas + twist-Frobenius factors."""
     fc = bn254.frob_coeffs()
     gammas = {
-        n: jnp.stack([F2.const(fc[n][k]) for k in range(6)])  # [6, 2, L]
+        n: jnp.stack([F2.const(fc[n][k]) for k in range(6)])  # [6, 2, L, 1]
         for n in (1, 2, 3)
     }
     q = bn254.Q
@@ -55,23 +56,23 @@ def _consts():
 
 
 def frobenius(a, n: int):
-    """q^n-power Frobenius on Fq12 ([..., 2, 3, 2, L])."""
+    """q^n-power Frobenius on Fq12 ([..., 2, 3, 2, L, V])."""
     gammas, _, _, _ = _consts()
     g = gammas[n]
     out = a
     if n % 2 == 1:
         # conjugate every Fq2 coefficient: negate the c1 components
         out = jnp.stack(
-            [a[..., :, :, 0, :], F1.neg(a[..., :, :, 1, :])], axis=-2)
+            [a[..., :, :, 0, :, :], F1.neg(a[..., :, :, 1, :, :])], axis=-3)
     # coefficient of v^i w^j is w-basis coefficient k = 2i + j
     cols = []
     for j in range(2):
         rows = []
         for i in range(3):
             k = 2 * i + j
-            rows.append(F2.mul(out[..., j, i, :, :], g[k]))
-        cols.append(jnp.stack(rows, axis=-3))
-    return jnp.stack(cols, axis=-4)
+            rows.append(F2.mul(out[..., j, i, :, :, :], g[k]))
+        cols.append(jnp.stack(rows, axis=-4))
+    return jnp.stack(cols, axis=-5)
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +84,7 @@ def _dbl_step(rx, ry, rz):
     """CLN doubling step on the twist; returns new R and D-twist line
     coefficients (c0, c3, c4) with c0 to be scaled by P.y, c3 by P.x."""
     _, _, _, two_inv = _consts()
-    b_twist = jnp.asarray(F2.const(
-        (bn254.B_G2[0], bn254.B_G2[1])))
+    b_twist = F2.const((bn254.B_G2[0], bn254.B_G2[1]))
     a = F2.mul_base(F2.mul(rx, ry), two_inv)
     b = F2.sqr(ry)
     c = F2.sqr(rz)
@@ -135,9 +135,9 @@ def _mul_by_char(qx, qy):
 
 
 def miller_loop(px, py, qx, qy):
-    """Batched Miller loop. px, py: affine G1 coords [..., L];
-    qx, qy: affine G2 coords [..., 2, L]. Returns Fq12 [...]."""
-    batch = px.shape[:-1]
+    """Batched Miller loop. px, py: affine G1 coords [..., L, V];
+    qx, qy: affine G2 coords [..., 2, L, V]. Returns Fq12 batch."""
+    batch = F1.batch_shape(px)
     f = F12.one(batch)
     r = (qx, qy, F2.one(batch))
     bits = jnp.asarray(_ATE_BITS)
@@ -150,11 +150,11 @@ def miller_loop(px, py, qx, qy):
         # masked addition step (bit of 6x+2)
         (ax, ay, az), ca = _add_step(rx, ry, rz, qx, qy)
         fa = _ell(f, ca, px, py)
-        take = bit > 0
-        f = F12.select(jnp.broadcast_to(take, batch), fa, f)
-        rx = F2.select(jnp.broadcast_to(take, batch), ax, rx)
-        ry = F2.select(jnp.broadcast_to(take, batch), ay, ry)
-        rz = F2.select(jnp.broadcast_to(take, batch), az, rz)
+        take = jnp.broadcast_to(bit > 0, batch)
+        f = F12.select(take, fa, f)
+        rx = F2.select(take, ax, rx)
+        ry = F2.select(take, ay, ry)
+        rz = F2.select(take, az, rz)
         return (f, rx, ry, rz), None
 
     (f, rx, ry, rz), _ = jax.lax.scan(body, (f, *r), bits)
@@ -177,11 +177,12 @@ def miller_loop(px, py, qx, qy):
 
 def _exp_by_x(f):
     """f^x for the BN parameter x (cyclotomic subgroup input)."""
+    batch = F12.batch_shape(f)
+
     def body(acc, bit):
         acc = F12.sqr(acc)
         accm = F12.mul(acc, f)
-        acc = F12.select(
-            jnp.broadcast_to(bit > 0, acc.shape[:-4]), accm, acc)
+        acc = F12.select(jnp.broadcast_to(bit > 0, batch), accm, acc)
         return acc, None
 
     acc, _ = jax.lax.scan(body, f, jnp.asarray(_X_BITS))
@@ -229,7 +230,7 @@ def final_exp(f):
 
 
 def pairing(px, py, qx, qy):
-    """Reduced optimal ate pairing e(P, Q), batched over leading axes."""
+    """Reduced optimal ate pairing e(P, Q), batched."""
     return final_exp(miller_loop(px, py, qx, qy))
 
 
@@ -252,22 +253,27 @@ def g2_affine(p: Point):
 
 
 def multi_miller(px, py, qx, qy, valid=None):
-    """prod_i miller(P_i, Q_i) over the leading axis, with an optional
+    """prod_i miller(P_i, Q_i) over the vector axis, with an optional
     validity mask (invalid pairs contribute 1) — the batched analogue of
     libff's `double_miller_loop` chains in the reference verifiers."""
-    fs = miller_loop(px, py, qx, qy)  # [n, ...]
+    fs = miller_loop(px, py, qx, qy)  # Fq12 batch [.., n]
     if valid is not None:
-        fs = F12.select(valid, fs, F12.one(fs.shape[:-4]))
-    # tree-product over axis 0
-    n = fs.shape[0]
+        fs = F12.select(valid, fs, F12.one(F12.batch_shape(fs)))
+    # tree-product over the vector axis (contiguous halves)
+    n = fs.shape[-1]
     while n > 1:
-        half = n // 2
-        prod = F12.mul(fs[0 : 2 * half : 2], fs[1 : 2 * half : 2])
+        h = n // 2
+        prod = F12.mul(fs[..., :h], fs[..., h : 2 * h])
         if n % 2:
-            prod = jnp.concatenate([prod, fs[-1:]], axis=0)
+            prod = jnp.concatenate([prod, fs[..., -1:]], axis=-1)
         fs = prod
         n = (n + 1) // 2
-    return fs[0]
+    return fs
+
+
+def point_concat(ps) -> Point:
+    """Concatenate point batches along the vector axis."""
+    return Point(*(jnp.concatenate(xs, axis=-1) for xs in zip(*ps)))
 
 
 def pairing_product_is_one(g1_points: Point, g2_points: Point):
@@ -277,13 +283,12 @@ def pairing_product_is_one(g1_points: Point, g2_points: Point):
     px, py, v1 = g1_affine(g1_points)
     qx, qy, v2 = g2_affine(g2_points)
     f = multi_miller(px, py, qx, qy, jnp.logical_and(v1, v2))
-    return F12.is_one(final_exp(f))
+    return F12.is_one(final_exp(f))[..., 0]
 
 
 def simple_pairing_check(a1: Point, a2: Point, b1: Point, b2: Point):
     """e(a1, a2) == e(b1, b2) — mirrors `simple_pairing_check`
     (`/root/reference/src/utils/globl.h:94-105`), as
     e(-a1, a2) * e(b1, b2) == 1 with one shared final exponentiation."""
-    stack = lambda p, q: Point(
-        jnp.stack([p.x, q.x]), jnp.stack([p.y, q.y]), jnp.stack([p.z, q.z]))
-    return pairing_product_is_one(stack(G1.neg(a1), b1), stack(a2, b2))
+    return pairing_product_is_one(point_concat([G1.neg(a1), b1]),
+                                  point_concat([a2, b2]))

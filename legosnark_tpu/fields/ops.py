@@ -5,9 +5,15 @@ generically, against this interface — the same complete-addition code
 serves G1 (over Fq) and G2 (over Fq2), mirroring how the reference gets
 G2 "for free" from libff's templated curve code (SURVEY §2.2).
 
-Element layout: Fq elements are uint32 arrays [..., L]; Fq2 elements are
-[..., 2, L] (c0, c1 stacked), so every point is a plain pytree of
+Element layout (TPU-first, see fields/limb.py): Fq elements are uint32
+arrays ``[..., L, V]`` — limb axis on the sublane dimension, batch
+vector axis on the lane dimension. Fq2 elements are ``[..., 2, L, V]``
+(c0, c1 stacked ahead of the limbs). Every point is a plain pytree of
 arrays — jit/vmap/shard_map friendly.
+
+Batch shapes are tuples whose LAST entry is the vector axis:
+``batch_shape([..., L, V]) == (..., V)``; a "single" element is the
+V=1 batch ``[L, 1]`` with batch shape ``(1,)``.
 """
 from __future__ import annotations
 
@@ -18,12 +24,22 @@ from . import limb as fl
 from .limb import FieldSpec
 
 
+def ext_shape(shape, k: int):
+    """Insert a tower/limb axis of size k ahead of the vector axis."""
+    shape = tuple(shape)
+    if not shape:
+        return (k, 1)
+    return shape[:-1] + (k, shape[-1])
+
+
 class FqOps:
     """Prime-field ops (Montgomery form)."""
 
+    #: number of element axes after the batch dims (limb + vector)
+    ndim = 2
+
     def __init__(self, spec: FieldSpec):
         self.spec = spec
-        self.suffix = (spec.nlimbs,)
 
     def add(self, a, b):
         return fl.add(self.spec, a, b)
@@ -56,45 +72,56 @@ class FqOps:
         return fl.eq(self.spec, a, b)
 
     def select(self, c, a, b):
-        return jnp.where(c[..., None], a, b)
+        return jnp.where(c[..., None, :], a, b)
 
     def const(self, x: int):
-        """Montgomery-form constant from a Python int."""
-        return jnp.asarray(self.spec.to_mont_int(x))
+        """Montgomery-form constant [L, 1] from a Python int."""
+        return fl._dev_const(self.spec.to_mont_int(x))
+
+    def bcast(self, c, batch_shape):
+        """Broadcast a [L, 1] constant to a batch shape."""
+        return jnp.broadcast_to(c, ext_shape(batch_shape, self.spec.nlimbs))
 
     def to_int(self, a) -> int:
         return self.spec.from_mont_limbs(np.asarray(a))
 
+    def to_ints_batch(self, a):
+        """[..., L, V] Montgomery -> int object array [..., V]."""
+        can = np.asarray(fl.from_mont(self.spec, a))
+        vals = fl.limbs_to_ints(can)
+        return vals
+
     def from_ints(self, xs):
-        """Batch int -> Montgomery limbs; uses the native C++ codec
-        (legosnark_tpu.native) when available."""
+        """Batch int -> Montgomery limbs [L, n]; uses the native C++
+        codec (legosnark_tpu.native) when available."""
         try:
             from ..native import encode_ints
-            return jnp.asarray(encode_ints(self.spec, [int(x) for x in xs]))
-        except Exception:
             return jnp.asarray(
-                np.stack([self.spec.to_mont_int(int(x)) for x in xs]))
+                encode_ints(self.spec, [int(x) for x in xs]).T)
+        except Exception:
+            return jnp.asarray(self.spec.to_mont_ints(xs))
 
     def batch_shape(self, a):
-        return a.shape[:-1]
+        return a.shape[:-2] + a.shape[-1:]
 
 
 class Fq2Ops:
     """Quadratic extension Fq[u]/(u^2+1) over a base FqOps."""
 
+    ndim = 3
+
     def __init__(self, base: FqOps):
         self.base = base
         self.spec = base.spec
-        self.suffix = (2, base.spec.nlimbs)
 
     def c0(self, a):
-        return a[..., 0, :]
+        return a[..., 0, :, :]
 
     def c1(self, a):
-        return a[..., 1, :]
+        return a[..., 1, :, :]
 
     def pack(self, c0, c1):
-        return jnp.stack([c0, c1], axis=-2)
+        return jnp.stack([c0, c1], axis=-3)
 
     def add(self, a, b):
         F = self.base
@@ -151,12 +178,12 @@ class Fq2Ops:
         return self.pack(F.sub(mul9(a0), a1), F.add(a0, mul9(a1)))
 
     def mul_base(self, a, s):
-        """Multiply by a base-field scalar s [..., L]."""
+        """Multiply by a base-field scalar s [..., L, V]."""
         F = self.base
         return self.pack(F.mul(self.c0(a), s), F.mul(self.c1(a), s))
 
     def zero(self, shape=()):
-        return self.base.zero(tuple(shape) + (2,))
+        return self.base.zero(ext_shape(shape, 2))
 
     def one(self, shape=()):
         F = self.base
@@ -164,30 +191,35 @@ class Fq2Ops:
 
     def is_zero(self, a):
         # redundant domain: canonicalize each Fq coefficient first
-        return jnp.all(fl.canon(self.spec, a) == 0, axis=(-1, -2))
+        return jnp.all(fl.canon(self.spec, a) == 0, axis=(-2, -3))
 
     def eq(self, a, b):
         return jnp.all(fl.canon(self.spec, a) == fl.canon(self.spec, b),
-                       axis=(-1, -2))
+                       axis=(-2, -3))
 
     def select(self, c, a, b):
-        return jnp.where(c[..., None, None], a, b)
+        return jnp.where(c[..., None, None, :], a, b)
 
     def const(self, x):
-        """Constant from an int pair (c0, c1)."""
+        """Constant [2, L, 1] from an int pair (c0, c1)."""
         c0, c1 = x
-        return jnp.stack([jnp.asarray(self.spec.to_mont_int(c0 % self.spec.p)),
-                          jnp.asarray(self.spec.to_mont_int(c1 % self.spec.p))])
+        return jnp.stack([
+            jnp.asarray(self.spec.to_mont_int(c0 % self.spec.p)),
+            jnp.asarray(self.spec.to_mont_int(c1 % self.spec.p))])
+
+    def bcast(self, c, batch_shape):
+        return jnp.broadcast_to(
+            c, ext_shape(ext_shape(batch_shape, self.spec.nlimbs), 2))
 
     def to_ints(self, a):
         return (self.base.to_int(self.c0(a)), self.base.to_int(self.c1(a)))
 
     def from_int_pairs(self, xs):
-        """[(c0,c1), ...] -> [n, 2, L]."""
-        return jnp.asarray(np.stack([
-            np.stack([self.spec.to_mont_int(int(x0) % self.spec.p),
-                      self.spec.to_mont_int(int(x1) % self.spec.p)])
-            for (x0, x1) in xs]))
+        """[(c0,c1), ...] -> [2, L, n]."""
+        p = self.spec.p
+        c0 = self.spec.to_mont_ints([x0 % p for (x0, _) in xs])
+        c1 = self.spec.to_mont_ints([x1 % p for (_, x1) in xs])
+        return jnp.asarray(np.stack([c0, c1], axis=0))
 
     def batch_shape(self, a):
-        return a.shape[:-2]
+        return a.shape[:-3] + a.shape[-1:]

@@ -11,29 +11,31 @@ Tower (same construction as the test oracle so values compare exactly):
   Fq6  = Fq2[v] / (v^3 - xi),  xi = 9 + u
   Fq12 = Fq6[w] / (w^2 - v)
 
-Layouts: Fq6 = [..., 3, 2, L] (c0,c1,c2 Fq2 coords), Fq12 = [..., 2, 3, 2, L].
-All ops batched over leading axes, branchless, jit/vmap-safe.
+Layouts (limb axis at -2, vector axis at -1, see fields/limb.py):
+Fq6 = [..., 3, 2, L, V] (c0,c1,c2 Fq2 coords), Fq12 = [..., 2, 3, 2, L, V].
+All ops batched, branchless, jit/vmap-safe.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from . import limb as fl
-from .ops import FqOps, Fq2Ops
+from .ops import FqOps, Fq2Ops, ext_shape
 
 
 class Fq6Ops:
     """Cubic extension Fq2[v]/(v^3 - xi)."""
 
+    ndim = 4
+
     def __init__(self, f2: Fq2Ops):
         self.f2 = f2
-        self.suffix = (3,) + f2.suffix
 
     def c(self, a, i):
-        return a[..., i, :, :]
+        return a[..., i, :, :, :]
 
     def pack(self, c0, c1, c2):
-        return jnp.stack([c0, c1, c2], axis=-3)
+        return jnp.stack([c0, c1, c2], axis=-4)
 
     def add(self, a, b):
         F = self.f2
@@ -87,7 +89,7 @@ class Fq6Ops:
         return self.pack(F.mul(c0, t), F.mul(c1, t), F.mul(c2, t))
 
     def zero(self, shape=()):
-        return self.f2.zero(tuple(shape) + (3,))
+        return self.f2.zero(ext_shape(shape, 3))
 
     def one(self, shape=()):
         F = self.f2
@@ -96,25 +98,26 @@ class Fq6Ops:
     def eq(self, a, b):
         spec = self.f2.spec
         return jnp.all(fl.canon(spec, a) == fl.canon(spec, b),
-                       axis=(-1, -2, -3))
+                       axis=(-2, -3, -4))
 
     def select(self, c, a, b):
-        return jnp.where(c[..., None, None, None], a, b)
+        return jnp.where(c[..., None, None, None, :], a, b)
 
 
 class Fq12Ops:
     """Quadratic extension Fq6[w]/(w^2 - v)."""
 
+    ndim = 5
+
     def __init__(self, f6: Fq6Ops):
         self.f6 = f6
         self.f2 = f6.f2
-        self.suffix = (2,) + f6.suffix
 
     def c(self, a, i):
-        return a[..., i, :, :, :]
+        return a[..., i, :, :, :, :]
 
     def pack(self, c0, c1):
-        return jnp.stack([c0, c1], axis=-4)
+        return jnp.stack([c0, c1], axis=-5)
 
     def add(self, a, b):
         F = self.f6
@@ -160,16 +163,19 @@ class Fq12Ops:
         F = self.f6
         return self.pack(F.one(shape), F.zero(shape))
 
+    def batch_shape(self, a):
+        return a.shape[:-5] + a.shape[-1:]
+
     def eq(self, a, b):
         spec = self.f6.f2.spec
         return jnp.all(fl.canon(spec, a) == fl.canon(spec, b),
-                       axis=(-1, -2, -3, -4))
+                       axis=(-2, -3, -4, -5))
 
     def is_one(self, a):
-        return self.eq(a, self.one(a.shape[:-4]))
+        return self.eq(a, self.one(self.batch_shape(a)))
 
     def select(self, c, a, b):
-        return jnp.where(c[..., None, None, None, None], a, b)
+        return jnp.where(c[..., None, None, None, None, :], a, b)
 
     # -- sparse multiplications used by the Miller loop ---------------------
     def mul_by_034(self, a, e0, e3, e4):
@@ -198,5 +204,3 @@ class Fq12Ops:
         c0 = F6.add(t0, F6.mul_by_v(t1))
         c1 = F6.sub(t2, F6.add(t0, t1))
         return self.pack(c0, c1)
-
-

@@ -18,6 +18,10 @@ Scheme (trapdoors chi, gamma, toxic waste of keygen):
 The identity: with hat(A) = A + d1 Z etc., hat(A)*hat(B) - hat(C) =
 Z * (H_q + d2 A + d1 B + d1 d2 Z - d3), so both sides equal
 e(G1, G2)^(gamma * hat(A)(chi) * hat(B)(chi)) etc. at the trapdoor.
+
+Layout: eval vectors [L, n] (vector axis minor); keygen power/Lagrange
+tables are computed on device (prototools.ntt._powers), so a 2^20
+domain keygen has no host bigint loops.
 """
 from __future__ import annotations
 
@@ -32,6 +36,7 @@ from ..curve import bn254
 from ..curve.group import Point, G1, G2, FR_OPS, g1_generator, g2_generator
 from ..curve import msm as msm_mod
 from ..prototools import ntt
+from ..utils import rand as lrand
 
 FR = bn254.FR
 R = bn254.R
@@ -41,8 +46,8 @@ class InterpKey(NamedTuple):
     """Lagrange-basis commitment key (`lipmaa.h:36-73`)."""
 
     n: int
-    lag_g1: Point    # [n] l_i(chi) * G1
-    lag_kg2: Point   # [n] gamma * l_i(chi) * G2
+    lag_g1: Point    # [L, n] l_i(chi) * G1
+    lag_kg2: Point   # [2, L, n] gamma * l_i(chi) * G2
     z_g1: Point      # Z(chi) * G1
     z_kg2: Point     # gamma * Z(chi) * G2
 
@@ -51,7 +56,7 @@ class HadLKey(NamedTuple):
     """CPHadL proving key: powers of chi (`lipmaa.h:87-108`)."""
 
     n: int
-    chi_pows: Point  # [n+1] chi^i * G1
+    chi_pows: Point  # [L, n+1] chi^i * G1
     interp: InterpKey
 
 
@@ -60,19 +65,22 @@ class InterpComm(NamedTuple):
     kc: Point  # G2
 
 
+def proof_size_group_elements() -> dict:
+    """pi is one G1 element (`lipmaa.cc:180`)."""
+    return {"g1": 1, "g2": 0, "fr": 0}
+
+
 def keygen(n: int, seed: int = 0) -> HadLKey:
     """Shared-trapdoor keygen (`LGlobalKeygen`, `lipmaa.cc:10-20`)."""
     rng = np.random.default_rng(seed ^ 0x11BA)
-    chi = (int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62))
-           + int(rng.integers(1, 1 << 62))) % R
-    gamma = (int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62))
-             + int(rng.integers(1, 1 << 62))) % R
+    chi = lrand.rand_fr_int(rng)
+    gamma = lrand.rand_fr_int(rng)
 
     chi_m = jnp.asarray(FR.to_mont_int(chi))
-    lag = ntt.all_lagrange_at(n, chi_m)              # [n, L] mont
-    z = ntt.vanishing_at(n, chi_m)                   # [L] mont
+    lag = ntt.all_lagrange_at(n, chi_m)              # [L, n] mont
+    z = ntt.vanishing_at(n, chi_m)                   # [L, 1] mont
     gamma_m = jnp.asarray(FR.to_mont_int(gamma))
-    lag_g = fl.mont_mul(FR, lag, gamma_m[None])
+    lag_g = fl.mont_mul(FR, lag, gamma_m)
     z_g = fl.mont_mul(FR, z, gamma_m)
 
     t1 = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
@@ -82,12 +90,11 @@ def keygen(n: int, seed: int = 0) -> HadLKey:
     z_g1 = G1.scalar_mul(g1_generator(), fl.from_mont(FR, z))
     z_kg2 = G2.scalar_mul(g2_generator(), fl.from_mont(FR, z_g))
 
-    pows = np.empty((n + 1, FR.nlimbs), dtype=np.uint32)
-    acc = 1
-    for i in range(n + 1):
-        pows[i] = fl.int_to_limbs(acc, FR.nlimbs)
-        acc = acc * chi % R
-    chi_pows = msm_mod.batch_scalar_mul(G1, t1, jnp.asarray(pows), c=8)
+    # chi^0..chi^n on device (log-depth doubling), then batch exp
+    log_np1 = (n + 1 - 1).bit_length()
+    pows = ntt._powers(chi, log_np1)[..., : n + 1]   # [L, n+1] mont
+    chi_pows = msm_mod.batch_scalar_mul(
+        G1, t1, fl.from_mont(FR, pows), c=8)
 
     interp = InterpKey(n, lag_g1, lag_kg2, z_g1, z_kg2)
     return HadLKey(n, chi_pows, interp)
@@ -106,21 +113,21 @@ def commit(key: InterpKey, v_mont, r_mont) -> InterpComm:
 
 
 def check_commit(key: InterpKey, cm: InterpComm):
-    """Well-formedness e(c, gamma*Z... ) style pairing check
-    (`lipmaa.cc:33-41`): e(c, gamma*G2-combination) consistency via
-    e(c, z_kg2-leg)… realized as e(c, gammaG2) == e(G1, kc) with
-    gammaG2 = gamma*G2 recovered from the key is not available — use
-    the standard check e(c, key.z_kg2) == e(z_g1, kc)."""
+    """Well-formedness (`lipmaa.cc:33-41`): the commitment pair must
+    satisfy e(c, z_kg2) == e(z_g1, kc) — both sides equal
+    e(G1, G2)^(gamma * Z(chi) * val(chi))."""
     from ..curve import pairing as pr
     return pr.simple_pairing_check(cm.c, key.z_kg2, key.z_g1, cm.kc)
 
 
 def prove(key: HadLKey, a_evals, b_evals, c_evals, d_mont) -> Point:
-    """Quotient pipeline (`lipmaa.cc:94-185`). d_mont: [3, L] blinding
+    """Quotient pipeline (`lipmaa.cc:94-185`). d_mont: [L, 3] blinding
     (pass zeros to mirror the reference's deterministic benchmark runs
     with the commitments' r = 0)."""
     n = key.n
-    d1, d2, d3 = d_mont[0], d_mont[1], d_mont[2]
+    d1 = d_mont[..., 0:1]
+    d2 = d_mont[..., 1:2]
+    d3 = d_mont[..., 2:3]
 
     a_c = ntt.intt(a_evals)          # interpolating coefficients
     b_c = ntt.intt(b_evals)
@@ -131,15 +138,15 @@ def prove(key: HadLKey, a_evals, b_evals, c_evals, d_mont) -> Point:
     c_cos = ntt.coset_ntt(c_c)
 
     prod = fl.sub(FR, fl.mont_mul(FR, a_cos, b_cos), c_cos)
-    hq = ntt.coset_intt(ntt.divide_by_z_on_coset(prod))   # [n, L]
+    hq = ntt.coset_intt(ntt.divide_by_z_on_coset(prod))   # [L, n]
 
     # blinding terms: H = H_q + d2*A + d1*B + d1*d2*Z - d3
-    h = fl.add(FR, hq, fl.mont_mul(FR, a_c, d2[None]))
-    h = fl.add(FR, h, fl.mont_mul(FR, b_c, d1[None]))
+    h = fl.add(FR, hq, fl.mont_mul(FR, a_c, d2))
+    h = fl.add(FR, h, fl.mont_mul(FR, b_c, d1))
     d12 = fl.mont_mul(FR, d1, d2)
-    # Z = x^n - 1: -1 to coeff 0, +d12 to coeff n
-    h = h.at[0].set(fl.sub(FR, fl.sub(FR, h[0], d12), d3))
-    h_full = jnp.concatenate([h, d12[None]], axis=0)       # [n+1, L]
+    # Z = x^n - 1: -1*d12 - d3 to coeff 0, +d12 to coeff n
+    h0 = fl.sub(FR, fl.sub(FR, h[..., 0:1], d12), d3)
+    h_full = jnp.concatenate([h0, h[..., 1:], d12], axis=-1)  # [L, n+1]
 
     return msm_mod.msm(G1, key.chi_pows, fl.from_mont(FR, h_full))
 
@@ -149,12 +156,6 @@ def verify(key: HadLKey, ca: InterpComm, cb: InterpComm, cc: InterpComm,
     """e(ca, cb.kc) == e(G1, cc.kc) * e(pi, gamma*Z(chi)*G2)
     (`lipmaa.cc:187-207`) as one product-of-pairings == 1."""
     from ..curve import pairing as pr
-    g1s = Point(
-        jnp.stack([G1.neg(ca.c).x, g1_generator().x, pi.x]),
-        jnp.stack([G1.neg(ca.c).y, g1_generator().y, pi.y]),
-        jnp.stack([G1.neg(ca.c).z, g1_generator().z, pi.z]))
-    g2s = Point(
-        jnp.stack([cb.kc.x, cc.kc.x, key.interp.z_kg2.x]),
-        jnp.stack([cb.kc.y, cc.kc.y, key.interp.z_kg2.y]),
-        jnp.stack([cb.kc.z, cc.kc.z, key.interp.z_kg2.z]))
+    g1s = pr.point_concat([G1.neg(ca.c), g1_generator(), pi])
+    g2s = pr.point_concat([cb.kc, cc.kc, key.interp.z_kg2])
     return pr.pairing_product_is_one(g1s, g2s)

@@ -8,7 +8,7 @@ Protocol (Thaler matmul sumcheck, the shape `matrixsc.cc:55-152` has):
   1. challenges r, s in Fr^d  (the reference samples both but folds
      both matrices by r — `matrixsc.cc:75-80` + `sumcheck.h:126-130`;
      here the folds are the mathematically correct ones)
-  2. t = C~(col=s, row=r); in-clear mode the verifier recomputes it
+  2. t = C~(row=r, col=s); in-clear mode the verifier recomputes it
      from the public C (`matrixsc.cc:156-184`), otherwise a CPpoly
      opening of committed C proves it (`matrixsc.cc:85-95`)
   3. sumcheck over d variables on tables
@@ -16,17 +16,24 @@ Protocol (Thaler matmul sumcheck, the shape `matrixsc.cc:55-152` has):
                                     `DPMatrixMle` collapse, `mle.h:237-262`)
         tb[p] = B~(row=p, col=s)
      proving t = sum_p ta[p] * tb[p]
-  4. CPpoly openings of the ORIGINAL A at (rho'||r) and B at (s||rho')
+  4. CPpoly openings of the ORIGINAL A at (r||rho') and B at (rho'||s)
      bind the sumcheck finals to the committed matrices.
 
-Matrix layout: tables are flattened row-major (index = col + n*row),
-so variables 0..d-1 are column bits and d..2d-1 row bits, matching the
-`A[l||r]` convention of the reference.
+Matrix layout: matrices are [n, L, n] (rows leading, columns on the
+vector axis); the flattened MLE index is row*n + col. With the
+framework's BIG-endian variable convention (prototools.mle), the ROW
+bits are variables 0..d-1 and the column bits d..2d-1, so evaluation
+points concatenate as (row point || col point) — note the reference's
+little-endian `A[l||r]` convention maps to the same flattening.
+
+Default mode is Fiat-Shamir (`prove_*_fs`/`verify_*_fs`): r, s come
+from the transcript after absorbing the input commitments.
 """
 from __future__ import annotations
 
 from typing import NamedTuple, Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +41,8 @@ from ..fields import limb as fl
 from ..curve import bn254
 from ..curve.group import Point, G1, FR_OPS
 from ..prototools import mle
+from ..utils import rand as lrand
+from ..utils.transcript import Transcript
 from . import poly as cppoly, sumcheck as cpsc
 
 FR = bn254.FR
@@ -43,17 +52,22 @@ class MatKey(NamedTuple):
     n: int
     d: int                  # log2 n
     poly_key: Any           # PolyKey with 2d variables (for A, B, C)
-    poly_key_half: Any      # PolyKey with d variables (sumcheck opens use
-                            # suffix levels of poly_key; kept for clarity)
 
 
 class MatProof(NamedTuple):
-    r: Any                  # [d, L] row challenges
-    s: Any                  # [d, L] col challenges
+    r: Any                  # [L, d] row challenges
+    s: Any                  # [L, d] col challenges
     t_comm: Point           # commitment to the claimed product eval
     sc_proof: Any           # SumcheckProof
     c_ans_comm: Point       # CPpoly answer commitment for C (committed mode)
     c_poly_pf: Any          # CPpoly proof for C (committed mode) or None
+
+
+def proof_size_group_elements(key: "MatKey") -> dict:
+    """`MatPf::getSize` parity (`matrixsc.h:44-50`)."""
+    sc = cpsc.proof_size_group_elements(key.d, 2)
+    return {"g1": sc["g1"] + 2 + 2 * 2 * key.d, "g2": sc["g2"],
+            "fr": sc["fr"] + 2 * key.d}
 
 
 def keygen(n: int, seed: int = 0) -> MatKey:
@@ -61,43 +75,46 @@ def keygen(n: int, seed: int = 0) -> MatKey:
     d = int(n).bit_length() - 1
     assert 1 << d == n, "n must be a power of two"
     pk = cppoly.keygen(2 * d, seed)
-    return MatKey(n, d, pk, None)
+    return MatKey(n, d, pk)
+
+
+def flatten_matrix(M_mont):
+    """[n, L, n] -> [L, n^2] row-major MLE table (index = row*n+col)."""
+    n = M_mont.shape[0]
+    return jnp.moveaxis(M_mont, 0, -2).reshape(
+        M_mont.shape[1:-1] + (n * n,))
 
 
 def commit_matrix(key: MatKey, M_mont) -> cppoly.PolyComm:
-    """Commit an [n, n, L] matrix as its flattened 2d-variable MLE."""
-    return cppoly.commit(key.poly_key, M_mont.reshape(-1, FR.nlimbs))
-
-
-def _fold_tables(A_mont, B_mont, r_mont, s_mont):
-    beta_r = mle.mk_beta(r_mont)
-    beta_s = mle.mk_beta(s_mont)
-    ta = mle.matrix_mle_fold(A_mont, beta_r)          # A~(r, .) over cols
-    tb = mle.matrix_mle_fold(
-        jnp.swapaxes(B_mont, 0, 1), beta_s)           # B~(., s) over rows
-    return ta, tb
+    """Commit an [n, L, n] matrix as its flattened 2d-variable MLE."""
+    return cppoly.commit(key.poly_key, flatten_matrix(M_mont))
 
 
 def prove_output_in_clear(key: MatKey, A_mont, B_mont, C_mont,
-                          r_mont, s_mont, challenges, sigma_rand
-                          ) -> MatProof:
+                          r_mont, s_mont, nonces, transcript=None,
+                          challenges=None, hv_rand=None) -> MatProof:
     """`proveOutputMatrixInClear` (`matrixsc.cc:106-152`): C is public,
-    no CPpoly proof for it. challenges: [d, L] sumcheck rounds."""
-    d = key.d
-    ta, tb = _fold_tables(A_mont, B_mont, r_mont, s_mont)
+    no CPpoly proof for it."""
+    beta_r = mle.mk_beta(r_mont)
+    beta_s = mle.mk_beta(s_mont)
+    ta = mle.matrix_mle_fold(A_mont, beta_r)
+    tb = mle.matrix_mle_fold(_transpose(B_mont), beta_s)
     tables = jnp.stack([ta, tb])
 
-    # CPpoly open-points for the ORIGINAL matrices (col vars first)
-    a_point = jnp.concatenate([challenges, r_mont], axis=0)
-    b_point = jnp.concatenate([s_mont, challenges], axis=0)
-    a_flat = A_mont.reshape(-1, FR.nlimbs)
-    b_flat = B_mont.reshape(-1, FR.nlimbs)
+    a_flat = flatten_matrix(A_mont)
+    b_flat = flatten_matrix(B_mont)
 
+    rand = dict(nonces)
+    if hv_rand:
+        rand.update(hv_rand)
     sc_pf, z0 = cpsc.prove(
-        key.poly_key, tables, challenges, sigma_rand,
+        key.poly_key, tables, rand,
         beta_table=None,
-        open_points=(a_point, b_point),
-        open_tables=(a_flat, b_flat))
+        open_points_fn=lambda rho: (
+            jnp.concatenate([r_mont, rho], axis=-1),    # A at (r || p)
+            jnp.concatenate([rho, s_mont], axis=-1)),   # B at (p || s)
+        open_tables=(a_flat, b_flat),
+        challenges=challenges, transcript=transcript)
 
     t_comm = cpsc.commit_scalar(key.poly_key.g1, z0)
     return MatProof(r=r_mont, s=s_mont, t_comm=t_comm, sc_proof=sc_pf,
@@ -105,51 +122,123 @@ def prove_output_in_clear(key: MatKey, A_mont, B_mont, C_mont,
 
 
 def verify_output_in_clear(key: MatKey, a_comm, b_comm, C_mont,
-                           proof: MatProof, sigma_rand):
+                           proof: MatProof, r_mont=None, s_mont=None,
+                           transcript=None, hv_rand=None):
     """`verifyOutputMatrixInClear` (`matrixsc.cc:156-184`): the
     verifier evaluates the public output MLE itself — O(n^2) field ops
     — and requires the sumcheck to be rooted at exactly that value."""
-    d = key.d
-    rs_point = jnp.concatenate([proof.s, proof.r], axis=0)
-    t = mle.eval_mle(C_mont.reshape(-1, FR.nlimbs), rs_point)
+    r_mont = proof.r if r_mont is None else r_mont
+    s_mont = proof.s if s_mont is None else s_mont
+    rs_point = jnp.concatenate([r_mont, s_mont], axis=-1)
+    t = mle.eval_mle(flatten_matrix(C_mont), rs_point)
     t_comm = cpsc.commit_scalar(key.poly_key.g1, t)
     root_ok = G1.eq(t_comm, proof.t_comm)
 
-    a_point = jnp.concatenate([proof.sc_proof.r, proof.r], axis=0)
-    b_point = jnp.concatenate([proof.s, proof.sc_proof.r], axis=0)
     sc_ok = cpsc.verify(
         key.poly_key, t_comm, (a_comm, b_comm), proof.sc_proof,
-        sigma_rand, beta_point_fn=None,
-        open_points=(a_point, b_point))
-    return jnp.logical_and(root_ok, sc_ok)
+        rand=hv_rand, beta_point_fn=None,
+        open_points_fn=lambda rho: (
+            jnp.concatenate([r_mont, rho], axis=-1),
+            jnp.concatenate([rho, s_mont], axis=-1)),
+        transcript=transcript)
+    return jnp.logical_and(jnp.all(root_ok), jnp.all(sc_ok))
 
 
 def prove(key: MatKey, A_mont, B_mont, C_mont, r_mont, s_mont,
-          challenges, sigma_rand) -> MatProof:
+          nonces, transcript=None, challenges=None, hv_rand=None
+          ) -> MatProof:
     """Committed-output variant (`matrixsc.cc:55-104`): additionally
-    CPpoly-opens committed C at (s||r)."""
+    CPpoly-opens committed C at (r||s)."""
     base = prove_output_in_clear(
-        key, A_mont, B_mont, C_mont, r_mont, s_mont, challenges,
-        sigma_rand)
-    c_flat = C_mont.reshape(-1, FR.nlimbs)
-    rs_point = jnp.concatenate([s_mont, r_mont], axis=0)
+        key, A_mont, B_mont, C_mont, r_mont, s_mont, nonces,
+        transcript=transcript, challenges=challenges, hv_rand=hv_rand)
+    c_flat = flatten_matrix(C_mont)
+    rs_point = jnp.concatenate([r_mont, s_mont], axis=-1)
     t, t_ans_comm = cppoly.compute_answer(key.poly_key, c_flat, rs_point)
     c_pf = cppoly.prove(key.poly_key, c_flat, rs_point)
     return base._replace(c_ans_comm=t_ans_comm, c_poly_pf=c_pf)
 
 
 def verify(key: MatKey, a_comm, b_comm, c_comm, proof: MatProof,
-           sigma_rand):
+           r_mont=None, s_mont=None, transcript=None, hv_rand=None):
     """Committed-output verify (`matrixsc.cc:188-218`)."""
-    rs_point = jnp.concatenate([proof.s, proof.r], axis=0)
+    r_mont = proof.r if r_mont is None else r_mont
+    s_mont = proof.s if s_mont is None else s_mont
+    rs_point = jnp.concatenate([r_mont, s_mont], axis=-1)
     c_ok = jnp.logical_and(
         cppoly.check_commit(key.poly_key, c_comm),
         cppoly.verify(key.poly_key, c_comm, proof.c_ans_comm, rs_point,
                       proof.c_poly_pf))
-    a_point = jnp.concatenate([proof.sc_proof.r, proof.r], axis=0)
-    b_point = jnp.concatenate([proof.s, proof.sc_proof.r], axis=0)
     sc_ok = cpsc.verify(
         key.poly_key, proof.c_ans_comm, (a_comm, b_comm), proof.sc_proof,
-        sigma_rand, beta_point_fn=None,
-        open_points=(a_point, b_point))
-    return jnp.logical_and(c_ok, sc_ok)
+        rand=hv_rand, beta_point_fn=None,
+        open_points_fn=lambda rho: (
+            jnp.concatenate([r_mont, rho], axis=-1),
+            jnp.concatenate([rho, s_mont], axis=-1)),
+        transcript=transcript)
+    return jnp.logical_and(jnp.all(c_ok), jnp.all(sc_ok))
+
+
+def _transpose(M):
+    """[n, L, n] -> [n, L, n] matrix transpose (rows <-> cols),
+    keeping the limb axis at -2."""
+    return jnp.transpose(M, (2, 1, 0))
+
+
+def make_nonces(d: int, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed ^ 0x3A7B)
+    return {"eq_k": lrand.rand_fr_mont(rng, d),
+            "prd_b": lrand.rand_fr_mont(rng, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Fiat-Shamir (default) wrappers
+# ---------------------------------------------------------------------------
+
+
+def _seed_transcript(key: MatKey, a_comm, b_comm, extra=None) -> Transcript:
+    tr = Transcript(label=0x4D4D5243)  # "MMRC"
+    for cm in (a_comm, b_comm) + ((extra,) if extra is not None else ()):
+        tr.absorb_point(cm.c)
+        tr.absorb_point(cm.ca)
+    return tr
+
+
+def prove_output_in_clear_fs(key: MatKey, A_mont, B_mont, C_mont,
+                             a_comm, b_comm, nonces=None) -> MatProof:
+    if nonces is None:
+        nonces = make_nonces(key.d)
+    tr = _seed_transcript(key, a_comm, b_comm)
+    tr.absorb_fr(flatten_matrix(C_mont))   # public output binds r, s
+    r = tr.challenges(key.d)
+    s = tr.challenges(key.d)
+    return prove_output_in_clear(key, A_mont, B_mont, C_mont, r, s,
+                                 nonces, transcript=tr)
+
+
+def verify_output_in_clear_fs(key: MatKey, a_comm, b_comm, C_mont,
+                              proof: MatProof):
+    tr = _seed_transcript(key, a_comm, b_comm)
+    tr.absorb_fr(flatten_matrix(C_mont))
+    r = tr.challenges(key.d)
+    s = tr.challenges(key.d)
+    return verify_output_in_clear(key, a_comm, b_comm, C_mont, proof,
+                                  r_mont=r, s_mont=s, transcript=tr)
+
+
+def prove_fs(key: MatKey, A_mont, B_mont, C_mont, a_comm, b_comm,
+             c_comm, nonces=None) -> MatProof:
+    if nonces is None:
+        nonces = make_nonces(key.d)
+    tr = _seed_transcript(key, a_comm, b_comm, extra=c_comm)
+    r = tr.challenges(key.d)
+    s = tr.challenges(key.d)
+    return prove(key, A_mont, B_mont, C_mont, r, s, nonces, transcript=tr)
+
+
+def verify_fs(key: MatKey, a_comm, b_comm, c_comm, proof: MatProof):
+    tr = _seed_transcript(key, a_comm, b_comm, extra=c_comm)
+    r = tr.challenges(key.d)
+    s = tr.challenges(key.d)
+    return verify(key, a_comm, b_comm, c_comm, proof, r_mont=r, s_mont=s,
+                  transcript=tr)

@@ -24,8 +24,13 @@ v~(s) - v~(r) = sum_i (s_i - r_i) * Q_i(s_{i+1..}) where
 Q_i = v^(i)[x_i=1] - v^(i)[x_i=0] — exactly `w_coeffs` in the
 reference's fold loop.
 
-Variable convention matches prototools.mle: bit i of a table index is
-variable i; round i binds variable i.
+Variable convention matches prototools.mle (big-endian: variable i at
+bit d-1-i of the table index; round i binds variable i, a contiguous
+halving of the vector axis). Tables are [L, 2^d], points [L, d].
+
+`d` is STATIC everywhere: it is recovered from the length of the
+`bases` tuple (a Python-level pytree structure), never from a traced
+array — `jax.jit(prove)` works directly on a PolyKey argument.
 """
 from __future__ import annotations
 
@@ -37,21 +42,28 @@ import jax.numpy as jnp
 
 from ..fields import limb as fl
 from ..curve import bn254
-from ..curve.group import Point, G1, G2, FR_OPS, g1_generator, g2_generator
+from ..curve.group import (
+    Point, G1, G2, FR_OPS, g1_generator, g2_generator, point_map,
+)
 from ..curve import msm as msm_mod
 from ..prototools import mle
+from ..utils import rand as lrand
 
 FR = bn254.FR
 
 
 class PolyKey(NamedTuple):
-    d: int
-    bases: Tuple[Point, ...]     # level j in 0..d: [2^(d-j)] G1 points
+    bases: Tuple[Point, ...]     # level j in 0..d: [L, 2^(d-j)] G1 points
     bases_a: Tuple[Point, ...]   # alpha-shifted copies
-    g2_s: Point                  # [d] G2: s_j * G2
+    g2_s: Point                  # [2, L, d] G2: s_j * G2
     g2_alpha: Point              # alpha * G2
     g1: Point                    # generator
     g2: Point                    # generator
+
+
+def poly_d(key: PolyKey) -> int:
+    """Number of variables — static (tuple length), safe under jit."""
+    return len(key.bases) - 1
 
 
 class PolyComm(NamedTuple):
@@ -60,33 +72,31 @@ class PolyComm(NamedTuple):
 
 
 class PolyPf(NamedTuple):
-    witness: Point    # [d] G1  (W_i)
-    witnessa: Point   # [d] G1  (alpha leg)
+    witness: Point    # [L, d] G1  (W_i)
+    witnessa: Point   # [L, d] G1  (alpha leg)
 
 
-def _rand_fr(rng) -> int:
-    return (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-            * int(rng.integers(0, 1 << 62)) + int(rng.integers(0, 1 << 62))
-            ) % bn254.R
+def proof_size_group_elements(d: int) -> dict:
+    """Proof-size accounting (`poly.h:13-17` `PolyPf::getSize`)."""
+    return {"g1": 2 * d, "g2": 0, "fr": 0}
 
 
 def keygen(d: int, seed: int = 0) -> PolyKey:
     """Structured-reference-string generation (trusted setup: s, alpha
-    are toxic waste, discarded on return)."""
+    are toxic waste, discarded on return). Uniform 254-bit sampling."""
     rng = np.random.default_rng(seed ^ 0x9057)
-    s_ints = [_rand_fr(rng) for _ in range(d)]
-    alpha_int = _rand_fr(rng)
-    s_mont = jnp.asarray(
-        np.stack([FR.to_mont_int(x) for x in s_ints])) if d else \
-        jnp.zeros((0, FR.nlimbs), jnp.uint32)
+    s_ints = lrand.rand_fr_ints(rng, d)
+    alpha_int = lrand.rand_fr_int(rng)
+    s_mont = jnp.asarray(FR.to_mont_ints(s_ints)) if d else \
+        jnp.zeros((FR.nlimbs, 0), jnp.uint32)
     alpha = jnp.asarray(FR.to_mont_int(alpha_int))
 
     table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
 
     bases, bases_a = [], []
     for j in range(d + 1):
-        eqt = mle.mk_beta(s_mont[j:])                  # [2^(d-j), L] mont
-        eqa = fl.mont_mul(FR, eqt, alpha[None])
+        eqt = mle.mk_beta(s_mont[..., j:])             # [L, 2^(d-j)] mont
+        eqa = fl.mont_mul(FR, eqt, alpha)
         bases.append(msm_mod.batch_scalar_mul(
             G1, table, fl.from_mont(FR, eqt), c=8))
         bases_a.append(msm_mod.batch_scalar_mul(
@@ -94,14 +104,13 @@ def keygen(d: int, seed: int = 0) -> PolyKey:
 
     g2t = msm_mod.fixed_base_table(G2, g2_generator(), c=8)
     sa = jnp.concatenate(
-        [fl.from_mont(FR, s_mont),
-         fl.from_mont(FR, alpha)[None]], axis=0)
+        [fl.from_mont(FR, s_mont), fl.from_mont(FR, alpha)], axis=-1)
     g2_pts = msm_mod.batch_scalar_mul(G2, g2t, sa, c=8)
-    g2_s = jax.tree.map(lambda x: x[:d], g2_pts)
-    g2_alpha = jax.tree.map(lambda x: x[d], g2_pts)
+    g2_s = point_map(lambda x: x[..., :d], g2_pts)
+    g2_alpha = point_map(lambda x: x[..., d : d + 1], g2_pts)
 
-    return PolyKey(d, tuple(bases), tuple(bases_a), Point(*g2_s),
-                   Point(*g2_alpha), g1_generator(), g2_generator())
+    return PolyKey(tuple(bases), tuple(bases_a), g2_s,
+                   g2_alpha, g1_generator(), g2_generator())
 
 
 def commit(key: PolyKey, v_mont) -> PolyComm:
@@ -119,32 +128,27 @@ def compute_answer(key: PolyKey, v_mont, r_mont):
 
 def prove(key: PolyKey, v_mont, r_mont) -> PolyPf:
     """d quotient witnesses by successive folding (`poly.h:45-91`)."""
-    d = key.d
+    d = poly_d(key)
     ws, was = [], []
     v = v_mont
     for i in range(d):
-        lo, hi = v[0::2], v[1::2]
+        half = v.shape[-1] // 2
+        lo, hi = v[..., :half], v[..., half:]
         q = fl.sub(FR, hi, lo)               # Q_i eval table, 2^(d-i-1)
         q_can = fl.from_mont(FR, q)
         ws.append(msm_mod.msm(G1, key.bases[i + 1], q_can))
         was.append(msm_mod.msm(G1, key.bases_a[i + 1], q_can))
-        v = mle.fold(v, r_mont[i])
-    stackp = lambda ps: Point(
-        jnp.stack([p.x for p in ps]), jnp.stack([p.y for p in ps]),
-        jnp.stack([p.z for p in ps]))
-    return PolyPf(stackp(ws), stackp(was))
+        v = mle.fold(v, r_mont[..., i : i + 1])
+    from ..curve.pairing import point_concat
+    return PolyPf(point_concat(ws), point_concat(was))
 
 
 def check_commit(key: PolyKey, cm: PolyComm):
     """Knowledge well-formedness e(C, G2a) == e(Ca, G2)
     (`poly.h:34-36`)."""
     from ..curve import pairing as pr
-    g1s = Point(jnp.stack([cm.c.x, G1.neg(cm.ca).x]),
-                jnp.stack([cm.c.y, G1.neg(cm.ca).y]),
-                jnp.stack([cm.c.z, G1.neg(cm.ca).z]))
-    g2s = Point(jnp.stack([key.g2_alpha.x, key.g2.x]),
-                jnp.stack([key.g2_alpha.y, key.g2.y]),
-                jnp.stack([key.g2_alpha.z, key.g2.z]))
+    g1s = pr.point_concat([cm.c, G1.neg(cm.ca)])
+    g2s = pr.point_concat([key.g2_alpha, key.g2])
     return pr.pairing_product_is_one(g1s, g2s)
 
 
@@ -153,43 +157,34 @@ def verify(key: PolyKey, cm: PolyComm, ans_commit: Point, r_mont,
     """Pairing ladder (`poly.h:93-126`, sound version).
 
     Main equation as a single product-of-pairings == 1:
-      e(-(C - ansC), G2) * prod_i e(W_i, r_i*G2 - S_i)^(-1 sign folded)
-    rearranged: e(C - ansC, -G2) * prod_i e(W_i, S_i - r_i*G2) ... == 1
+      e(ansC - C, G2) * prod_i e(W_i, S_i - r_i*G2) == 1
     Knowledge: for each i, e(W_i, G2a) == e(Wa_i, G2).
     """
     from ..curve import pairing as pr
-    d = key.d
+    d = poly_d(key)
     r_can = fl.from_mont(FR, r_mont)
 
-    # r_i * G2 points, batched
+    # r_i * G2 points, batched over the vector axis [.., L, d]
     rg2 = G2.scalar_mul(g2_generator((d,)), r_can)
     # S_i - r_i*G2
-    sr = G2.add(Point(*key.g2_s), G2.neg(rg2))
+    sr = G2.add(key.g2_s, G2.neg(rg2))
 
     # main: e(ansC - C, G2) * prod e(W_i, S_i - r_i G2) == 1
     diff = G1.add(ans_commit, G1.neg(cm.c))
-    g1s = Point(
-        jnp.concatenate([diff.x[None], pf.witness.x]),
-        jnp.concatenate([diff.y[None], pf.witness.y]),
-        jnp.concatenate([diff.z[None], pf.witness.z]))
-    g2b = g2_generator()
-    g2s = Point(
-        jnp.concatenate([g2b.x[None], sr.x]),
-        jnp.concatenate([g2b.y[None], sr.y]),
-        jnp.concatenate([g2b.z[None], sr.z]))
+    g1s = pr.point_concat([diff, pf.witness])
+    g2s = pr.point_concat([key.g2, sr])
     main_ok = pr.pairing_product_is_one(g1s, g2s)
 
-    # knowledge checks, one batched product per witness pair:
-    # prod_i e(W_i, G2a) e(-Wa_i, G2) == 1 is NOT sound as a batch
-    # (cancellation across i); check each i separately.
-    def know_one(w, wa):
-        g1p = Point(jnp.stack([w.x, G1.neg(wa).x]),
-                    jnp.stack([w.y, G1.neg(wa).y]),
-                    jnp.stack([w.z, G1.neg(wa).z]))
-        g2p = Point(jnp.stack([key.g2_alpha.x, key.g2.x]),
-                    jnp.stack([key.g2_alpha.y, key.g2.y]),
-                    jnp.stack([key.g2_alpha.z, key.g2.z]))
-        return pr.pairing_product_is_one(g1p, g2p)
-
-    know_ok = jax.vmap(know_one)(pf.witness, pf.witnessa)
+    # knowledge checks: batching prod_i e(W_i, G2a) e(-Wa_i, G2) == 1
+    # would allow cancellation across i; check each i separately via a
+    # leading batch axis (2 pairings per i, vectorized across i).
+    w = point_map(lambda x: x[..., None], pf.witness)        # [L, d, 1]
+    wa = point_map(lambda x: x[..., None], pf.witnessa)
+    nwa = G1.neg(wa)
+    g1p = point_map(lambda a, b: jnp.concatenate(
+        [jnp.moveaxis(a, -2, 0), jnp.moveaxis(b, -2, 0)], axis=-1), w, nwa)
+    # g1p: [d, L, 2]; pair with [g2_alpha, g2] broadcast over d
+    g2p = pr.point_concat([key.g2_alpha, key.g2])            # [2, L, 2]
+    g2p = point_map(lambda x: jnp.broadcast_to(x, (d,) + x.shape), g2p)
+    know_ok = pr.pairing_product_is_one(g1p, g2p)            # [d]
     return jnp.logical_and(main_ok, jnp.all(know_ok))

@@ -28,7 +28,13 @@ FR = bn254.FR
 
 
 def _smul(p: Point, k_mont) -> Point:
-    return G1.scalar_mul(p, fl.from_mont(FR, k_mont))
+    """k*P with the point broadcast across the scalar batch: p [.., L, 1]
+    against k [L, m] yields [.., L, m]."""
+    k = fl.from_mont(FR, k_mont)
+    if p.x.shape[-1] == 1 and k.shape[-1] != 1:
+        p = Point(*(jnp.broadcast_to(c, c.shape[:-1] + k.shape[-1:])
+                    for c in p))
+    return G1.scalar_mul(p, k)
 
 
 def pedersen(g: Point, h: Point, v_mont, r_mont) -> Point:
@@ -45,7 +51,8 @@ class ZKEqProof(NamedTuple):
 
 
 def zkeq_prove(g: Point, h: Point, r0, r1, k, e) -> ZKEqProof:
-    """k: prover nonce; e: challenge (both Montgomery Fr [L])."""
+    """k: prover nonce; e: challenge (both Montgomery Fr [L, 1] — or
+    [L, d] to produce d independent proofs in one vectorized call)."""
     a = _smul(h, k)
     z = FR_OPS.add(k, FR_OPS.mul(e, FR_OPS.sub(r0, r1)))
     return ZKEqProof(a, z)
@@ -73,10 +80,10 @@ class ZKPrdProof(NamedTuple):
 
 
 def zkprd_prove(g: Point, h: Point, x, rx, y, ry, rz, bs, e) -> ZKPrdProof:
-    """bs: [5, L] prover nonces; e: challenge. cx=Com(x;rx), cy=Com(y;ry),
-    cz=Com(x*y; rz)."""
+    """bs: [L, 5] prover nonces; e: challenge [L, 1]. cx=Com(x;rx),
+    cy=Com(y;ry), cz=Com(x*y; rz)."""
     F = FR_OPS
-    b1, b2, b3, b4, b5 = (bs[i] for i in range(5))
+    b1, b2, b3, b4, b5 = (bs[..., i : i + 1] for i in range(5))
     cy = pedersen(g, h, y, ry)
     alpha = pedersen(g, h, b1, b2)
     beta = pedersen(g, h, b3, b4)

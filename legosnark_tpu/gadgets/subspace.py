@@ -14,17 +14,22 @@ gadget: "these two commitments open to the same vector").
       `verifyLin3or4` (`subspace.cc:135-171`) is this same code at
       l = 3, 4 — no special-casing needed.
 
-Sparsity: the reference stores M column-major sparse. Here M is a
-dense [l, t] Point batch with *identity points as zeros* — the
-complete addition law makes zero entries behave exactly like skipped
-entries, and the keygen contraction P = sum_i k_i * M[i, :] is l
-batched scalar-muls (fully vectorized) instead of per-column sparse
-MSMs. For the linking relations l is 2-4, so this is the right
-TPU shape.
+Two keygen paths, mirroring `scalarsAvailable` (`subspace.h:19`,
+`subspace.cc:37-76`):
+  * `keygen(M)` — dense [l, .., L, t] Point batch with identity points
+    as structural zeros; P = sum_i k_i*M[i,:] by batched scalar-muls.
+  * `keygen_scalar(sM)` — the reference's fast path: when the relation
+    matrix is known as Fr SCALARS over a single base G (the linking
+    relation is), P_j = (<k, sM[:, j]>) * G costs one sparse
+    inner product + one fixed-base batch exponentiation
+    (`sparseinnerproduct` + `mkG1Exp`), no curve adds over t at all.
+
+Layout: point batches on the vector axis ([l] rows lead), Fr vectors
+[L, t] (see fields/limb.py).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Any
+from typing import NamedTuple, Any, Optional
 
 import numpy as np
 import jax
@@ -32,43 +37,74 @@ import jax.numpy as jnp
 
 from ..fields import limb as fl
 from ..curve import bn254
-from ..curve.group import Point, G1, G2, FR_OPS, g2_generator
+from ..curve.group import Point, G1, G2, FR_OPS, g2_generator, point_map
 from ..curve import msm as msm_mod
+from ..prototools import mle
+from ..utils import rand as lrand
 
 FR = bn254.FR
 
 
 class SubspaceKey(NamedTuple):
-    P: Point   # [t] G1
-    C: Point   # [l] G2
+    P: Point   # [.., L, t] G1
+    C: Point   # [.., L, l] G2
     a: Point   # G2
 
 
-def _rand_fr(rng) -> int:
-    return (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-            + int(rng.integers(0, 1 << 62))) % bn254.R
+def proof_size_group_elements() -> dict:
+    """The proof is a single G1 element (`subspace.cc:78-85`)."""
+    return {"g1": 1, "g2": 0, "fr": 0}
 
 
 def keygen(M: Point, seed: int = 0) -> SubspaceKey:
-    """M: [l, t] G1 points (identity = structural zero)."""
+    """M: [l, .., L, t] G1 points (identity = structural zero)."""
     l = M.x.shape[0]
     rng = np.random.default_rng(seed ^ 0x5AB5)
-    k_ints = [_rand_fr(rng) for _ in range(l)]
-    a_hat = _rand_fr(rng)
-
-    k_can = jnp.asarray(
-        np.stack([fl.int_to_limbs(x, FR.nlimbs) for x in k_ints]))
+    k_ints = lrand.rand_fr_ints(rng, l)
+    a_hat = lrand.rand_fr_int(rng)
 
     # P = sum_i k_i * M[i, :]  — batched scalar-mul per row, tree add
-    scaled = G1.scalar_mul(M, k_can[:, None, :])   # [l, t]
-    P = msm_mod._tree_reduce_axis0(G1, scaled)
+    k_can = jnp.asarray(fl.ints_to_limbs(k_ints, FR.nlimbs))  # [L, l]
+    k_rows = jnp.moveaxis(k_can, -1, 0)[..., None]            # [l, L, 1]
+    scaled = G1.scalar_mul(M, k_rows)                         # [l, .., t]
+    P = msm_mod.tree_reduce_leading(G1, scaled)
 
     # C_i = k_i * a = (k_i * a_hat) * G2
-    ka = jnp.asarray(np.stack([
-        fl.int_to_limbs(x * a_hat % bn254.R, FR.nlimbs) for x in k_ints]))
+    ka = jnp.asarray(fl.ints_to_limbs(
+        [x * a_hat % bn254.R for x in k_ints], FR.nlimbs))    # [L, l]
     C = G2.scalar_mul(g2_generator((l,)), ka)
     a = G2.scalar_mul(g2_generator(),
-                      jnp.asarray(fl.int_to_limbs(a_hat, FR.nlimbs)))
+                      jnp.asarray(fl.int_to_limbs(a_hat, FR.nlimbs)[:, None]))
+    return SubspaceKey(P=P, C=C, a=a)
+
+
+def keygen_scalar(sM_mont, seed: int = 0) -> SubspaceKey:
+    """Fast keygen from the Fr mirror of the relation matrix
+    (`subspace.cc:45-65` scalar path): sM [l, L, t] Montgomery scalars
+    such that M = sM * G. P = (k^T sM) * G via one field contraction +
+    one fixed-base batch exponentiation."""
+    from ..curve.group import g1_generator
+    l = sM_mont.shape[0]
+    t = sM_mont.shape[-1]
+    rng = np.random.default_rng(seed ^ 0x5AB5)
+    k_ints = lrand.rand_fr_ints(rng, l)
+    a_hat = lrand.rand_fr_int(rng)
+
+    k_mont = jnp.asarray(FR.to_mont_ints(k_ints))             # [L, l]
+    k_rows = jnp.moveaxis(k_mont, -1, 0)[..., None]           # [l, L, 1]
+    # field contraction p_j = sum_i k_i * sM[i, j]  (sparseinnerproduct)
+    prod = fl.mont_mul(FR, sM_mont, k_rows)                   # [l, L, t]
+    p_scal = mle.field_sum_leading(prod)                      # [L, t]
+
+    table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
+    P = msm_mod.batch_scalar_mul(G1, table,
+                                 fl.from_mont(FR, p_scal), c=8)
+
+    ka = jnp.asarray(fl.ints_to_limbs(
+        [x * a_hat % bn254.R for x in k_ints], FR.nlimbs))
+    C = G2.scalar_mul(g2_generator((l,)), ka)
+    a = G2.scalar_mul(g2_generator(),
+                      jnp.asarray(fl.int_to_limbs(a_hat, FR.nlimbs)[:, None]))
     return SubspaceKey(P=P, C=C, a=a)
 
 
@@ -78,17 +114,11 @@ def prove(key: SubspaceKey, w_mont) -> Point:
 
 
 def verify(key: SubspaceKey, x: Point, pi: Point):
-    """prod_i e(x_i, C_i) * e(-pi, a) == 1 (`subspace.cc:106-133`)."""
+    """prod_i e(x_i, C_i) * e(-pi, a) == 1 (`subspace.cc:106-133`).
+    x: [.., L, l] commitment points on the vector axis."""
     from ..curve import pairing as pr
-    npi = G1.neg(pi)
-    g1s = Point(
-        jnp.concatenate([x.x, npi.x[None]]),
-        jnp.concatenate([x.y, npi.y[None]]),
-        jnp.concatenate([x.z, npi.z[None]]))
-    g2s = Point(
-        jnp.concatenate([key.C.x, key.a.x[None]]),
-        jnp.concatenate([key.C.y, key.a.y[None]]),
-        jnp.concatenate([key.C.z, key.a.z[None]]))
+    g1s = pr.point_concat([x, G1.neg(pi)])
+    g2s = pr.point_concat([key.C, key.a])
     return pr.pairing_product_is_one(g1s, g2s)
 
 
@@ -106,27 +136,11 @@ def make_linking_relation(h: Point, f: Point, bases_h: Point,
 
     witness w = (r_h, r_f, u_1..u_N); x = (c_H, c_F) the two
     commitments to the same u under base sets (g_i), (f_i).
+    Rows stack on a LEADING axis; entries ride the vector axis.
     """
-    n = bases_h.x.shape[0]
-    idg = G1.identity((1,))
-
-    def row(first, second, bases):
-        return Point(
-            jnp.concatenate([first.x[None], second.x, bases.x]),
-            jnp.concatenate([first.y[None], second.y, bases.y]),
-            jnp.concatenate([first.z[None], second.z, bases.z]))
-
-    row0 = row(h, idg, bases_h)
-    id_then_f = Point(
-        jnp.concatenate([idg.x, f.x[None]]),
-        jnp.concatenate([idg.y, f.y[None]]),
-        jnp.concatenate([idg.z, f.z[None]]))
-    row1 = Point(
-        jnp.concatenate([id_then_f.x, bases_f.x]),
-        jnp.concatenate([id_then_f.y, bases_f.y]),
-        jnp.concatenate([id_then_f.z, bases_f.z]))
-    # row0 currently = [h, id, g...]; fix ordering: [h, 0, g...] OK
-    return Point(
-        jnp.stack([row0.x, row1.x]),
-        jnp.stack([row0.y, row1.y]),
-        jnp.stack([row0.z, row1.z]))
+    from ..curve import pairing as pr
+    idg = G1.identity(())
+    row0 = pr.point_concat([h, idg, bases_h])
+    row1 = pr.point_concat([idg, f, bases_f])
+    from ..curve.group import point_stack
+    return point_stack([row0, row1])

@@ -20,14 +20,18 @@ Soundness deltas vs the reference: the h-round engine treats beta as a
 third MLE table (one generic fold, see prototools.mle) instead of
 DPBeta's prefix/suffix machinery; CPpoly openings are against the
 ORIGINAL commitments (the reference re-commits the folded tables,
-breaking the link); sigma protocols are real. Challenges remain
-injectable (the reference prover samples them itself,
-`sumcheck.cc:46-48`); pass Fiat-Shamir-derived values for
-non-interactive soundness.
+breaking the link); sigma protocols are real; and the DEFAULT mode is
+non-interactive Fiat-Shamir — pass a `Transcript` and every challenge
+(round r_i, sigma challenges) is squeezed after absorbing the
+corresponding commitments. The reference's honest-verifier mode
+(prover-injected challenges, `sumcheck.cc:46-48`) remains available by
+passing explicit `challenges`/`eq_e`/`prd_e`.
 
 Matrix mode (`CPSumcheckMatrix`): the caller pre-folds the matrices
 (DPMatrixMle) and supplies open-points for the original 2d-variable
 commitments; beta is dummy (== 1).
+
+Layout: tables [k, L, 2^d]; challenge lists [L, d]; scalars [L, 1].
 """
 from __future__ import annotations
 
@@ -38,8 +42,9 @@ import jax.numpy as jnp
 
 from ..fields import limb as fl
 from ..curve import bn254
-from ..curve.group import Point, G1, FR_OPS
-from ..prototools import mle
+from ..curve.group import Point, G1, FR_OPS, point_map
+from ..curve.pairing import point_concat
+from ..prototools import mle, polytools
 from . import sigma, poly as cppoly
 
 FR = bn254.FR
@@ -48,79 +53,103 @@ FR = bn254.FR
 class SumcheckProof(NamedTuple):
     """Fixed-shape proof object (cf. `SumcheckPf`, `sumcheck.h:16-44`)."""
 
-    r: Any                 # [d, L] round challenges (mont)
-    h_comms: Point         # [d, D+1] G1 scalar commitments to h coeffs
-    eq_proofs: sigma.ZKEqProof   # batched [d]
-    poly_comms: Any        # tuple of PolyComm for the committed MLEs
-    ans_comms: Point       # [2] G1 answer commitments (a~(r), b~(r))
+    r: Any                 # [L, d] round challenges (mont)
+    h_comms: Point         # [d, L, D+1] G1 scalar commitments to h coeffs
+    eq_proofs: sigma.ZKEqProof   # batched on the vector axis [L, d]
+    ans_comms: Point       # [L, 2] G1 answer commitments (a~(r), b~(r))
     poly_pfs: Any          # tuple of PolyPf
     prd_proof: sigma.ZKPrdProof
-    finals: Any            # [k, L] final table values (mont) — openings
+    finals: Any            # [L, 2] final answers (mont) — openings
 
 
-def _stack_points(ps):
-    return Point(jnp.stack([p.x for p in ps]),
-                 jnp.stack([p.y for p in ps]),
-                 jnp.stack([p.z for p in ps]))
+def proof_size_group_elements(d: int, k: int) -> dict:
+    """`SumcheckPf::getSize` parity (`sumcheck.h:35-43`)."""
+    return {
+        "g1": d * (k + 1)        # h coefficient commitments
+        + d + 2                  # eq first moves + ans commitments
+        + 3                      # prd first moves
+        + 2 * 2 * d,             # two CPpoly proofs
+        "g2": 0,
+        "fr": d + 5 + 2,         # eq responses, prd responses, finals
+    }
 
 
 def commit_scalar(g: Point, v_mont) -> Point:
     """Deterministic scalar commitment v*G (the reference uses zero
-    randomness throughout, `commit.h:151-152`)."""
+    randomness throughout, `commit.h:151-152`). Batched: v [L, m] ->
+    points [L, m]."""
     return G1.scalar_mul(g, fl.from_mont(FR, v_mont))
 
 
-def eval_on_comms(comms: Point, t_mont) -> Point:
-    """Homomorphic univariate evaluation sum_j t^j * C_j over stacked
-    commitment points [k+1] (`polytools.h:104-124`)."""
-    k1 = comms.x.shape[0]
-    acc = Point(comms.x[k1 - 1], comms.y[k1 - 1], comms.z[k1 - 1])
-    t_can = fl.from_mont(FR, t_mont)
-    for j in range(k1 - 2, -1, -1):
-        acc = G1.scalar_mul(acc, t_can)
-        acc = G1.add(acc, Point(comms.x[j], comms.y[j], comms.z[j]))
-    return acc
+def prove(key: cppoly.PolyKey, tables, rand, beta_table=None,
+          open_points=None, open_tables=None, open_points_fn=None,
+          challenges=None, transcript=None):
+    """Sumcheck prove over a product of the stacked `tables` [2, L, 2^d]
+    (the two committed MLEs), optionally times `beta_table` [L, 2^d].
 
-
-def prove(key: cppoly.PolyKey, tables, challenges, sigma_rand,
-          beta_table=None, open_points=None, open_tables=None):
-    """Sumcheck prove over a product of the stacked `tables` [2, 2^d, L]
-    (the two committed MLEs), optionally times `beta_table` [2^d, L].
-
-    challenges: [d, L] mont round challenges.
-    sigma_rand: dict with keys 'eq_k' [d, L], 'eq_e' [d, L],
-        'prd_b' [5, L], 'prd_e' [L] — sigma-protocol nonces/challenges.
-    open_points / open_tables: where and what CPpoly opens; defaults to
-        (challenges, tables) for the plain CPsc; CPMat passes the
-        original 2d-variable tables and r||rho' points.
-    Returns (proof, z0) with z0 the claimed sum (mont).
+    rand: dict of prover NONCES: 'eq_k' [L, d], 'prd_b' [L, 5] — plus,
+        in honest-verifier mode (transcript=None), the injected
+        challenges 'eq_e' [L, d] and 'prd_e' [L, 1].
+    challenges: [L, d] round challenges (honest-verifier mode only).
+    transcript: utils.transcript.Transcript — Fiat-Shamir mode: round
+        challenges are squeezed after absorbing each round's h
+        commitments; sigma challenges after absorbing the first moves.
+    open_points / open_points_fn: where CPpoly opens; `open_points_fn`
+        receives the [L, d] round challenges (needed in FS mode where
+        they are not known upfront). Defaults to the challenges for the
+        plain CPsc; CPMat passes the original 2d-variable points.
+    open_tables: what CPpoly opens (defaults to the two tables).
+    Returns (proof, z0) with z0 the claimed sum (mont [L, 1]).
     """
-    d = challenges.shape[0]
+    k_tables = tables.shape[0]
+    d = (challenges.shape[-1] if challenges is not None
+         else tables.shape[-1].bit_length() - 1)
     full = tables if beta_table is None else jnp.concatenate(
         [beta_table[None], tables], axis=0)
 
-    rounds = mle.prove_rounds(full, challenges)   # h_coeffs [d, k+1, L]
     g, h = key.g1, _blinding(key)
 
-    # scalar-commit every h coefficient: [d, k+1] points
-    hc_flat = rounds.h_coeffs.reshape(-1, FR.nlimbs)
-    h_comms_flat = G1.scalar_mul(
-        _bcast(g, hc_flat.shape[0]), fl.from_mont(FR, hc_flat))
-    h_comms = jax.tree.map(
-        lambda x: x.reshape(rounds.h_coeffs.shape[:2] + x.shape[1:]),
-        h_comms_flat)
+    # --- round loop: commit h_i, then draw r_i ------------------------
+    hs, hcs, rs, zs = [], [], [], []
+    for i in range(d):
+        hpoly = mle.round_poly(full)                # [L, k+1]
+        hc = commit_scalar(g, hpoly)                # [L, k+1] points
+        if transcript is not None:
+            transcript.absorb_point(hc)
+            r = transcript.challenge()
+        else:
+            r = challenges[..., i : i + 1]
+        hs.append(hpoly)
+        hcs.append(hc)
+        rs.append(r)
+        zs.append(polytools.eval_at(hpoly, r))
+        full = mle.fold(full, r)
 
-    # per-round ZKEq proofs: h_i(0)+h_i(1) == z_i (all randomness 0:
-    # commitments are deterministic, so r0 == r1 == 0)
-    zero = FR_OPS.zero((d,))
-    eq_pfs = jax.vmap(
-        lambda k_, e_: sigma.zkeq_prove(g, h, FR_OPS.zero(), FR_OPS.zero(),
-                                        k_, e_)
-    )(sigma_rand["eq_k"], sigma_rand["eq_e"])
+    r_stack = jnp.concatenate(rs, axis=-1) if d else \
+        jnp.zeros((FR.nlimbs, 0), jnp.uint32)
+    finals_tbl = full                               # [k, L, 1]
+    z0 = fl.add(FR, polytools.eval_at(hs[0], fl.zero(FR)),
+                polytools.eval_at(hs[0], fl.one(FR)))
 
-    # CPpoly openings of the two committed MLEs
+    # --- per-round ZKEq proofs: h_i(0)+h_i(1) == z_i ------------------
+    # (commitments are deterministic => r0 == r1 == 0; one vectorized
+    # call proves all d rounds)
+    a_eq = sigma._smul(h, rand["eq_k"])             # first moves [L, d]
+    if transcript is not None:
+        transcript.absorb_point(a_eq)
+        eq_e = transcript.challenges(d)
+    else:
+        eq_e = rand["eq_e"]
+    zero_d = FR_OPS.zero((d,))
+    eq_pfs = sigma.ZKEqProof(
+        a=a_eq,
+        z=FR_OPS.add(rand["eq_k"], FR_OPS.mul(eq_e, zero_d)))
+
+    # --- CPpoly openings of the two committed MLEs --------------------
+    if open_points_fn is not None:
+        open_points = open_points_fn(r_stack)
     if open_points is None:
-        open_points = (challenges, challenges)
+        open_points = (r_stack, r_stack)
     if open_tables is None:
         open_tables = (tables[0], tables[1])
     ans, ans_c, pfs = [], [], []
@@ -130,77 +159,110 @@ def prove(key: cppoly.PolyKey, tables, challenges, sigma_rand,
         ans_c.append(a_com)
         pfs.append(cppoly.prove(key, t, pt))
 
-    # final product proof: z_d = (betaEval * a~(r)) * b~(r)
-    beta_eval = (rounds.finals[0] if beta_table is not None
-                 else FR_OPS.one())
-    if beta_table is not None:
-        a_final, b_final = rounds.finals[1], rounds.finals[2]
-    else:
-        a_final, b_final = rounds.finals[0], rounds.finals[1]
+    # --- final product proof: z_d = (betaEval * a~(r)) * b~(r) --------
+    beta_eval = (finals_tbl[0] if beta_table is not None else FR_OPS.one())
     lhs = FR_OPS.mul(beta_eval, ans[0])
+    if transcript is not None:
+        transcript.absorb_point(point_concat(ans_c))
+        # prd first moves depend only on nonces; absorb them before e
+        prd_pre = sigma.zkprd_prove(
+            g, h, lhs, FR_OPS.zero(), ans[1], FR_OPS.zero(),
+            FR_OPS.zero(), rand["prd_b"], FR_OPS.zero())
+        transcript.absorb_point(prd_pre.alpha)
+        transcript.absorb_point(prd_pre.beta)
+        transcript.absorb_point(prd_pre.delta)
+        prd_e = transcript.challenge()
+    else:
+        prd_e = rand["prd_e"]
     prd = sigma.zkprd_prove(
         g, h, lhs, FR_OPS.zero(), ans[1], FR_OPS.zero(), FR_OPS.zero(),
-        sigma_rand["prd_b"], sigma_rand["prd_e"])
+        rand["prd_b"], prd_e)
 
-    z0 = rounds.zs[0]
+    from ..curve.group import point_stack
     proof = SumcheckProof(
-        r=challenges, h_comms=h_comms, eq_proofs=eq_pfs,
-        poly_comms=None, ans_comms=_stack_points(ans_c),
+        r=r_stack, h_comms=point_stack(hcs),
+        eq_proofs=eq_pfs,
+        ans_comms=point_concat(ans_c),
         poly_pfs=tuple(pfs), prd_proof=prd,
-        finals=jnp.stack([ans[0], ans[1]]))
+        finals=jnp.concatenate(ans, axis=-1))
     return proof, z0
 
 
 def verify(key: cppoly.PolyKey, z0_comm: Point, mle_comms, proof,
-           sigma_rand, beta_point_fn=None, open_points=None):
+           rand=None, beta_point_fn=None, open_points=None,
+           open_points_fn=None, transcript=None):
     """Sumcheck verify (`sumcheck.cc:135-179`).
 
     z0_comm: commitment to the claimed sum. mle_comms: tuple of
     PolyComm for the two committed MLEs. beta_point_fn: callable
     r -> beta(rho, r) closed form (None = matrix mode, beta == 1).
+    transcript: Fiat-Shamir mode — challenges are RECOMPUTED from the
+    proof's commitments (the proof's r field is ignored), so any
+    tampering with the transcript order breaks verification.
+    rand: honest-verifier mode challenges {'eq_e', 'prd_e'}.
     """
-    d = proof.r.shape[0]
+    d = proof.r.shape[-1]
     g, h = key.g1, _blinding(key)
     checks = []
 
+    # --- replay rounds ------------------------------------------------
+    rs = []
+    for i in range(d):
+        hc = point_map(lambda x: x[i], proof.h_comms)   # [L, k+1]
+        if transcript is not None:
+            transcript.absorb_point(hc)
+            rs.append(transcript.challenge())
+        else:
+            rs.append(proof.r[..., i : i + 1])
+    r_stack = jnp.concatenate(rs, axis=-1) if d else proof.r
+    if transcript is not None:
+        transcript.absorb_point(proof.eq_proofs.a)
+        eq_e = transcript.challenges(d)
+        transcript.absorb_point(proof.ans_comms)
+        transcript.absorb_point(proof.prd_proof.alpha)
+        transcript.absorb_point(proof.prd_proof.beta)
+        transcript.absorb_point(proof.prd_proof.delta)
+        prd_e = transcript.challenge()
+    else:
+        eq_e = rand["eq_e"]
+        prd_e = rand["prd_e"]
+
     z_comm = z0_comm
     for i in range(d):
-        hc = Point(proof.h_comms.x[i], proof.h_comms.y[i],
-                   proof.h_comms.z[i])
-        v0 = eval_on_comms(hc, FR_OPS.zero())
-        v1 = eval_on_comms(hc, FR_OPS.one())
+        hc = point_map(lambda x: x[i], proof.h_comms)
+        v0 = polytools.eval_as_poly_on(hc, FR_OPS.zero())
+        v1 = polytools.eval_as_poly_on(hc, FR_OPS.one())
         v_comm = G1.add(v0, v1)
-        pf_i = jax.tree.map(lambda x: x[i], proof.eq_proofs)
+        pf_i = sigma.ZKEqProof(
+            a=point_map(lambda x: x[..., i : i + 1], proof.eq_proofs.a),
+            z=proof.eq_proofs.z[..., i : i + 1])
         checks.append(sigma.zkeq_verify(
-            h, v_comm, z_comm, sigma.ZKEqProof(*pf_i),
-            sigma_rand["eq_e"][i]))
-        z_comm = eval_on_comms(hc, proof.r[i])
+            h, v_comm, z_comm, pf_i, eq_e[..., i : i + 1]))
+        z_comm = polytools.eval_as_poly_on(hc, rs[i])
 
-    # CPpoly checks against the ORIGINAL commitments
+    # --- CPpoly checks against the ORIGINAL commitments ---------------
+    if open_points_fn is not None:
+        open_points = open_points_fn(r_stack)
     if open_points is None:
-        open_points = (proof.r, proof.r)
+        open_points = (r_stack, r_stack)
     for idx, (cm, pt) in enumerate(zip(mle_comms, open_points)):
-        ansc = Point(proof.ans_comms.x[idx], proof.ans_comms.y[idx],
-                     proof.ans_comms.z[idx])
+        ansc = point_map(lambda x: x[..., idx : idx + 1], proof.ans_comms)
         checks.append(cppoly.check_commit(key, cm))
         checks.append(cppoly.verify(key, cm, ansc, pt,
                                     proof.poly_pfs[idx]))
 
-    # product proof: lhs = betaEval * ansA, rhs = ansB, out = z_d comm
-    beta_eval = (beta_point_fn(proof.r) if beta_point_fn is not None
+    # --- product proof: lhs = betaEval * ansA, rhs = ansB, out = z_d --
+    beta_eval = (beta_point_fn(r_stack) if beta_point_fn is not None
                  else FR_OPS.one())
-    ans_a = Point(proof.ans_comms.x[0], proof.ans_comms.y[0],
-                  proof.ans_comms.z[0])
-    ans_b = Point(proof.ans_comms.x[1], proof.ans_comms.y[1],
-                  proof.ans_comms.z[1])
+    ans_a = point_map(lambda x: x[..., 0:1], proof.ans_comms)
+    ans_b = point_map(lambda x: x[..., 1:2], proof.ans_comms)
     lhs_comm = G1.scalar_mul(ans_a, fl.from_mont(FR, beta_eval))
     checks.append(sigma.zkprd_verify(
-        g, h, lhs_comm, ans_b, z_comm, proof.prd_proof,
-        sigma_rand["prd_e"]))
+        g, h, lhs_comm, ans_b, z_comm, proof.prd_proof, prd_e))
 
     out = checks[0]
     for c in checks[1:]:
-        out = jnp.logical_and(out, c)
+        out = jnp.logical_and(jnp.all(out), jnp.all(c))
     return out
 
 
@@ -208,10 +270,4 @@ def _blinding(key: cppoly.PolyKey) -> Point:
     """Blinding base H for scalar commitments. Derived from the SRS:
     use the alpha-shifted generator base (independent of G under DLOG
     given alpha is toxic waste)."""
-    return Point(*jax.tree.map(lambda x: x[-1], key.bases_a[key.d]))
-
-
-def _bcast(p: Point, n: int) -> Point:
-    return Point(jnp.broadcast_to(p.x, (n,) + p.x.shape),
-                 jnp.broadcast_to(p.y, (n,) + p.y.shape),
-                 jnp.broadcast_to(p.z, (n,) + p.z.shape))
+    return point_map(lambda x: x[..., -1:], key.bases_a[cppoly.poly_d(key)])

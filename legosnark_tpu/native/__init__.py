@@ -84,7 +84,7 @@ def encode_words(spec: FieldSpec, words: np.ndarray,
     if lib is None:
         xs = words_to_ints(words)
         if to_mont:
-            return np.stack([spec.to_mont_int(x) for x in xs])
+            return np.stack([spec.to_mont_int(x)[:, 0] for x in xs])
         return np.stack([int_to_limbs(x, spec.nlimbs) for x in xs])
     out = np.empty((n, spec.nlimbs), dtype=np.uint32)
     ctx = _ctx(spec.p, spec.nlimbs, False)

@@ -12,8 +12,9 @@ fills every base with the *generator* and hardcodes r = 0
 default samples real bases g1s[i] = s_i*G1, g2s[i] = s_i*G2 from a seed
 and uses caller-supplied randomness.
 
-Everything is a pytree of arrays: a batch commit of m vectors of length
-n is two MSMs per vector, jitted and shardable.
+Layout: Fr vectors are [L, n] (see fields/limb.py); point batches have
+their batch on the vector axis. A batch commit is two MSMs per vector,
+jitted and shardable.
 """
 from __future__ import annotations
 
@@ -26,9 +27,10 @@ import jax.numpy as jnp
 from ..fields import limb as fl
 from ..curve import bn254
 from ..curve.group import (
-    Point, G1, G2, FR_OPS, g1_generator, g2_generator,
+    Point, G1, G2, FR_OPS, g1_generator, g2_generator, point_map,
 )
 from ..curve import msm as msm_mod
+from ..utils import rand as lrand
 
 FR = bn254.FR
 
@@ -47,7 +49,7 @@ class Comm(NamedTuple):
                     G2.add(self.kc, G2.neg(other.kc)))
 
     def scale(self, b_canonical) -> "Comm":
-        """b * Comm for a canonical Fr scalar [L]."""
+        """b * Comm for a canonical Fr scalar [L, 1]."""
         return Comm(G1.scalar_mul(self.c, b_canonical),
                     G2.scalar_mul(self.kc, b_canonical))
 
@@ -56,8 +58,8 @@ class CommOut(NamedTuple):
     """Commitment + opening randomness + message (`commit.h:59-116`)."""
 
     c: Comm
-    r: Any   # Fr mont [L]
-    xs: Any  # Fr mont [m, L]
+    r: Any   # Fr mont [L, 1]
+    xs: Any  # Fr mont [L, m]
 
     def __add__(self, other: "CommOut") -> "CommOut":
         return CommOut(self.c + other.c, FR_OPS.add(self.r, other.r),
@@ -69,8 +71,8 @@ class CommOut(NamedTuple):
 
 
 class CommitmentKey(NamedTuple):
-    g1s: Point  # [n] G1 bases
-    g2s: Point  # [n] G2 bases
+    g1s: Point  # [.., L, n] G1 bases
+    g2s: Point  # [.., L, n] G2 bases
     h: Point    # blinding base in G1
 
 
@@ -88,35 +90,32 @@ def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
             g1_generator((n,)), g2_generator((n,)), g1_generator())
 
     rng = np.random.default_rng(seed ^ 0x1E605)
-    exps = [int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62))
-            % bn254.R for _ in range(n + 1)]
-    scal = jnp.asarray(
-        np.stack([fl.int_to_limbs(e, FR.nlimbs) for e in exps]))
+    scal = lrand.rand_fr_canonical(rng, n + 1)   # [L, n+1]
 
     t1 = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
     t2 = msm_mod.fixed_base_table(G2, g2_generator(), c=8)
     g1s = msm_mod.batch_scalar_mul(G1, t1, scal, c=8)
     g2s = msm_mod.batch_scalar_mul(G2, t2, scal, c=8)
-    h = jax.tree.map(lambda x: x[n], g1s)
-    g1s = jax.tree.map(lambda x: x[:n], g1s)
-    g2s = jax.tree.map(lambda x: x[:n], g2s)
-    return CommitmentKey(g1s, g2s, Point(*h))
+    h = point_map(lambda x: x[..., n : n + 1], g1s)
+    g1s = point_map(lambda x: x[..., :n], g1s)
+    g2s = point_map(lambda x: x[..., :n], g2s)
+    return CommitmentKey(g1s, g2s, h)
 
 
 def commit(ck: CommitmentKey, v_mont, r_mont=None, c: int | None = None
            ) -> CommOut:
-    """Commit to a vector v (Montgomery Fr [m, L]), m <= n.
+    """Commit to a vector v (Montgomery Fr [L, m]), m <= n.
 
     c = <g1s[:m], v> + r*H ; kc = <g2s[:m], v>  (`commit.h:149-158`).
     r defaults to zero (the reference behavior); pass real randomness
     for hiding commitments.
     """
-    m = v_mont.shape[0]
+    m = v_mont.shape[-1]
     v_can = fl.from_mont(FR, v_mont)
-    g1s = jax.tree.map(lambda x: x[:m], ck.g1s)
-    g2s = jax.tree.map(lambda x: x[:m], ck.g2s)
-    cpt = msm_mod.msm(G1, Point(*g1s), v_can, c=c)
-    kc = msm_mod.msm(G2, Point(*g2s), v_can, c=c)
+    g1s = point_map(lambda x: x[..., :m], ck.g1s)
+    g2s = point_map(lambda x: x[..., :m], ck.g2s)
+    cpt = msm_mod.msm(G1, g1s, v_can, c=c)
+    kc = msm_mod.msm(G2, g2s, v_can, c=c)
     if r_mont is None:
         r_mont = FR_OPS.zero()
     else:
@@ -127,29 +126,23 @@ def commit(ck: CommitmentKey, v_mont, r_mont=None, c: int | None = None
 
 def commit_scalar(ck: CommitmentKey, v_mont) -> CommOut:
     """Commit to a single field element (`commit.h:160-166`):
-    c = v*g1s[0], kc = v*g2s[0]."""
+    c = v*g1s[0], kc = v*g2s[0]. v_mont: [L, 1]."""
     v_can = fl.from_mont(FR, v_mont)
-    g1 = jax.tree.map(lambda x: x[0], ck.g1s)
-    g2 = jax.tree.map(lambda x: x[0], ck.g2s)
+    g1 = point_map(lambda x: x[..., :1], ck.g1s)
+    g2 = point_map(lambda x: x[..., :1], ck.g2s)
     return CommOut(
-        Comm(G1.scalar_mul(Point(*g1), v_can),
-             G2.scalar_mul(Point(*g2), v_can)),
-        FR_OPS.zero(), v_mont[None] if v_mont.ndim == 1 else v_mont)
+        Comm(G1.scalar_mul(g1, v_can), G2.scalar_mul(g2, v_can)),
+        FR_OPS.zero(), v_mont)
 
 
-def check_knowledge(ck: CommitmentKey, cm: Comm, g2_gen: Optional[Point] = None):
-    """Pairing well-formedness check e(c, g2[0]-leg) consistency — used
-    by CPpoly's `checkCommit` (`/root/reference/src/gadgets/poly.h:34-36`):
-    e(c, g2) == e(g1, kc) with (g1, g2) the first bases."""
+def check_knowledge(ck: CommitmentKey, cm: Comm,
+                    g2_gen: Optional[Point] = None):
+    """Pairing well-formedness check — used by CPpoly's `checkCommit`
+    (`/root/reference/src/gadgets/poly.h:34-36`): e(c, g2) == e(g1, kc)
+    with (g1, g2) the first bases."""
     from ..curve import pairing as pr
-    g1 = Point(*jax.tree.map(lambda x: x[0], ck.g1s))
-    g2 = Point(*jax.tree.map(lambda x: x[0], ck.g2s))
-    lhs = Point(
-        jnp.stack([cm.c.x, G1.neg(g1).x]),
-        jnp.stack([cm.c.y, G1.neg(g1).y]),
-        jnp.stack([cm.c.z, G1.neg(g1).z]))
-    rhs = Point(
-        jnp.stack([g2.x, cm.kc.x]),
-        jnp.stack([g2.y, cm.kc.y]),
-        jnp.stack([g2.z, cm.kc.z]))
+    g1 = point_map(lambda x: x[..., :1], ck.g1s)
+    g2 = point_map(lambda x: x[..., :1], ck.g2s)
+    lhs = pr.point_concat([cm.c, G1.neg(g1)])
+    rhs = pr.point_concat([g2, cm.kc])
     return pr.pairing_product_is_one(lhs, rhs)

@@ -9,15 +9,19 @@ cosetFFT/icosetFFT, `divide_by_Z_on_coset`,
 
 Design: decimation-in-time butterflies as a Python loop over the
 *static* log2(n) stages; each stage is one fully vectorized Montgomery
-mul + add/sub over the whole array (XLA fuses the reshape/concat
-shuffles). Twiddle tables are host-precomputed per (n, stage) from the
-public BN254 2-adic root (2-adicity 28) and become jit constants.
+mul + add/sub over the whole array, with the shuffles expressed as
+contiguous reshapes of the two minor axes (coefficients live on the
+vector/lane axis: [..., L, n] — see fields/limb.py). Twiddle and
+power tables are computed ON DEVICE by repeated-doubling (log n
+Montgomery muls of growing width) and cached per size — no host bigint
+loops, so a 2^20-point domain sets up in milliseconds.
 """
 from __future__ import annotations
 
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import limb as fl
@@ -28,23 +32,27 @@ R = bn254.R
 
 
 @functools.lru_cache(None)
-def _stage_twiddles(log_n: int, inverse: bool):
-    """Per-stage twiddle tables (Montgomery limbs) for a size-2^log_n
-    DIT NTT: stage s uses w_{2^s}^j for j < 2^(s-1)."""
+def _powers(base: int, log_n: int):
+    """[L, 2^log_n] Montgomery powers base^0..base^(2^log_n - 1),
+    computed on device with log_n vectorized muls (doubling trick).
+    Evaluated outside any active trace so the cache holds concrete
+    arrays, never tracers."""
+    with jax.ensure_compile_time_eval():
+        t = jnp.asarray(FR.to_mont_int(1))
+        for k in range(log_n):
+            g2k = jnp.asarray(FR.to_mont_int(pow(base, 1 << k, R)))
+            t = jnp.concatenate([t, fl.mont_mul(FR, t, g2k)], axis=-1)
+    return t
+
+
+def _stage_twiddle(log_n: int, s: int, inverse: bool):
+    """Twiddles w_m^j, j < m/2 for stage s (m = 2^s): [L, m/2]."""
     root = bn254.fr_two_adic_root(log_n)
     if inverse:
         root = pow(root, R - 2, R)
-    out = []
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        w_m = pow(root, (1 << log_n) // m, R)
-        tw = np.empty((m // 2, FR.nlimbs), dtype=np.uint32)
-        w = 1
-        for j in range(m // 2):
-            tw[j] = FR.to_mont_int(w)
-            w = w * w_m % R
-        out.append(tw)
-    return out
+    m = 1 << s
+    w_m = pow(root, (1 << log_n) // m, R)
+    return _powers(w_m, s - 1)
 
 
 @functools.lru_cache(None)
@@ -58,26 +66,32 @@ def _bitrev(log_n: int):
 
 
 def ntt(a, inverse: bool = False):
-    """In-order DIT NTT of [n, L] Montgomery coefficients -> evals at
-    the powers of the canonical 2^log_n root (inverse: evals -> coeffs,
-    including the 1/n scale)."""
-    n = a.shape[0]
+    """In-order DIT NTT of [..., L, n] Montgomery coefficients -> evals
+    at the powers of the canonical 2^log_n root (inverse: evals ->
+    coeffs, including the 1/n scale)."""
+    n = a.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    a = a[jnp.asarray(_bitrev(log_n))]
-    tws = _stage_twiddles(log_n, inverse)
+    a = jnp.take(a, jnp.asarray(_bitrev(log_n)), axis=-1)
+    lead = a.shape[:-1]                       # [..., L]
     for s in range(1, log_n + 1):
         m = 1 << s
-        tw = jnp.asarray(tws[s - 1])                 # [m/2, L]
-        x = a.reshape(n // m, m, FR.nlimbs)
-        even = x[:, : m // 2]
-        odd = fl.mont_mul(FR, x[:, m // 2 :], tw[None])
-        a = jnp.concatenate(
-            [fl.add(FR, even, odd), fl.sub(FR, even, odd)],
-            axis=1).reshape(n, FR.nlimbs)
+        tw = _stage_twiddle(log_n, s, inverse)          # [L, m/2]
+        x = a.reshape(lead + (n // m, m))
+        even = x[..., : m // 2].reshape(lead + (n // 2,))
+        odd = x[..., m // 2 :].reshape(lead + (n // 2,))
+        # twiddle pattern repeats per block: broadcast [L, m/2] across
+        # the n//m blocks via reshape of the vector axis
+        tw_full = jnp.broadcast_to(
+            tw[..., None, :], tw.shape[:-1] + (n // m, m // 2)
+        ).reshape(tw.shape[:-1] + (n // 2,))
+        odd = fl.mont_mul(FR, odd, tw_full)
+        hi = fl.add(FR, even, odd).reshape(lead + (n // m, m // 2))
+        lo = fl.sub(FR, even, odd).reshape(lead + (n // m, m // 2))
+        a = jnp.concatenate([hi, lo], axis=-1).reshape(lead + (n,))
     if inverse:
-        n_inv = jnp.asarray(FR.to_mont_int(pow(n, R - 2, R)))
-        a = fl.mont_mul(FR, a, n_inv[None])
+        n_inv = fl._dev_const(FR.to_mont_int(pow(n, R - 2, R)))
+        a = fl.mont_mul(FR, a, n_inv)
     return a
 
 
@@ -85,56 +99,42 @@ def intt(a):
     return ntt(a, inverse=True)
 
 
-@functools.lru_cache(None)
-def _coset_powers(log_n: int, inverse: bool):
-    """g^i (or g^-i) for the multiplicative-generator coset shift,
-    Montgomery limbs [n, L] — libfqfft's cosetFFT multiplier."""
-    g = bn254.fr_multiplicative_generator()
-    if inverse:
-        g = pow(g, R - 2, R)
-    n = 1 << log_n
-    out = np.empty((n, FR.nlimbs), dtype=np.uint32)
-    acc = 1
-    for i in range(n):
-        out[i] = FR.to_mont_int(acc)
-        acc = acc * g % R
-    return out
-
-
 def coset_ntt(a):
     """Evaluate on the coset g*<w> (`lipmaa.cc:136-176` path)."""
-    log_n = a.shape[0].bit_length() - 1
-    shift = jnp.asarray(_coset_powers(log_n, False))
+    log_n = a.shape[-1].bit_length() - 1
+    shift = _powers(bn254.fr_multiplicative_generator(), log_n)
     return ntt(fl.mont_mul(FR, a, shift))
 
 
 def coset_intt(a):
-    log_n = a.shape[0].bit_length() - 1
-    shift = jnp.asarray(_coset_powers(log_n, True))
+    log_n = a.shape[-1].bit_length() - 1
+    g = bn254.fr_multiplicative_generator()
+    shift = _powers(pow(g, R - 2, R), log_n)
     return fl.mont_mul(FR, intt(a), shift)
 
 
 def divide_by_z_on_coset(evals):
     """Divide coset evaluations by Z(x) = x^n - 1, which is the
     CONSTANT g^n - 1 on the coset (libfqfft `divide_by_Z_on_coset`)."""
-    n = evals.shape[0]
+    n = evals.shape[-1]
     g = bn254.fr_multiplicative_generator()
     zinv = pow((pow(g, n, R) - 1) % R, R - 2, R)
-    return fl.mont_mul(FR, evals, jnp.asarray(FR.to_mont_int(zinv))[None])
+    return fl.mont_mul(FR, evals, fl._dev_const(FR.to_mont_int(zinv)))
 
 
 def poly_mul_ntt(a, b):
     """Polynomial product via zero-padded NTT (libfqfft
-    `_polynomial_multiplication`); inputs [na, L], [nb, L]."""
-    na, nb = a.shape[0], b.shape[0]
+    `_polynomial_multiplication`); inputs [..., L, na], [..., L, nb]."""
+    na, nb = a.shape[-1], b.shape[-1]
     n = 1
     while n < na + nb - 1:
         n *= 2
-    pad = lambda v: jnp.concatenate(
-        [v, fl.zero(FR, (n - v.shape[0],))], axis=0)
+    def pad(v):
+        z = fl.zero(FR, v.shape[:-2] + (n - v.shape[-1],))
+        return jnp.concatenate([v, z], axis=-1)
     fa = ntt(pad(a))
     fb = ntt(pad(b))
-    return intt(fl.mont_mul(FR, fa, fb))[: na + nb - 1]
+    return intt(fl.mont_mul(FR, fa, fb))[..., : na + nb - 1]
 
 
 # ---------------------------------------------------------------------------
@@ -152,19 +152,14 @@ def all_lagrange_at(n: int, t_mont):
     """All n Lagrange-basis polys evaluated at t:
     l_i(t) = (t^n - 1) * w^i / (n * (t - w^i))  — the batched form of
     libfqfft `evaluate_all_lagrange_polynomials` used by
-    `Interpolator::getAllLagrangianPolys` (`interp.h:68-72`)."""
+    `Interpolator::getAllLagrangianPolys` (`interp.h:68-72`).
+    t_mont: [L, 1]; returns [L, n]."""
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    root = bn254.fr_two_adic_root(log_n)
-    ws = np.empty((n, FR.nlimbs), dtype=np.uint32)
-    acc = 1
-    for i in range(n):
-        ws[i] = FR.to_mont_int(acc)
-        acc = acc * root % R
-    ws = jnp.asarray(ws)                                   # w^i, mont
+    ws = _powers(bn254.fr_two_adic_root(log_n), log_n)     # w^i, [L, n]
 
     z = vanishing_at(n, t_mont)                            # t^n - 1
-    n_inv = jnp.asarray(FR.to_mont_int(pow(n, R - 2, R)))
-    num = fl.mont_mul(FR, fl.mont_mul(FR, ws, z[None]), n_inv[None])
-    den = fl.sub(FR, jnp.broadcast_to(t_mont, ws.shape), ws)
+    n_inv = fl._dev_const(FR.to_mont_int(pow(n, R - 2, R)))
+    num = fl.mont_mul(FR, fl.mont_mul(FR, ws, z), n_inv)
+    den = fl.sub(FR, t_mont, ws)
     return fl.mont_mul(FR, num, fl.inv(FR, den))

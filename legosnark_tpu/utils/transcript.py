@@ -5,12 +5,16 @@ prover-sampled `random_element()` (`sumcheck.cc:46-48`, `sigma.cc:14`;
 SURVEY §2.1 rows 14/16), i.e. honest-verifier interactive. This module
 supplies the non-interactive option: a jit-compatible sponge whose
 permutation is x -> (x + c_i)^5 over Fr (5 is coprime to r-1, so x^5
-is a permutation; 110 rounds). Points are absorbed coordinate-wise.
+is a permutation; 110 rounds). Batches absorb through a binary
+Merkle-Damgard-style tree (log-depth, full vector width) before the
+digest enters the running state — sequential rate-1 absorption of a
+2^d-entry table would serialize 110*2^d tiny muls on the VPU.
 
 Security note: MiMC-5/110 is a demonstrative algebraic hash (the
 standard production choice would be Poseidon2); the transcript API is
 what matters — gadgets absorb each commitment before sampling the next
-challenge.
+challenge, and `tests/test_transcript_fs.py` checks that a tampered
+transcript changes every later challenge.
 """
 from __future__ import annotations
 
@@ -28,62 +32,75 @@ N_ROUNDS = 110
 
 @functools.lru_cache(None)
 def _round_constants():
+    """[L, N_ROUNDS] Montgomery round constants (nothing-up-my-sleeve:
+    fixed-seed uniform draws)."""
     rng = np.random.default_rng(0xF5)
-    cs = np.empty((N_ROUNDS, FR.nlimbs), dtype=np.uint32)
-    for i in range(N_ROUNDS):
-        v = (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-             + int(rng.integers(0, 1 << 62))) % bn254.R
-        cs[i] = FR.to_mont_int(v)
-    return cs
+    vals = [int.from_bytes(rng.bytes(40), "little") % bn254.R
+            for _ in range(N_ROUNDS)]
+    return FR.to_mont_ints(vals)
 
 
 def permute(x_mont):
-    """110 rounds of x <- (x + c_i)^5 (3 muls per round, batched)."""
-    cs = jnp.asarray(_round_constants())
+    """110 rounds of x <- (x + c_i)^5 (3 muls per round, batched over
+    the vector axis)."""
+    cs = _round_constants()
     for i in range(N_ROUNDS):
-        t = fl.add(FR, x_mont, cs[i])
+        t = fl.add(FR, x_mont, fl._dev_const(cs[:, i : i + 1]))
         t2 = fl.mont_sqr(FR, t)
         t4 = fl.mont_sqr(FR, t2)
         x_mont = fl.mont_mul(FR, t4, t)
     return x_mont
 
 
+def _tree_digest(v):
+    """Compress [L, m] columns to one [L, 1] digest: permute all lanes
+    once, then log2(m) rounds of pairwise combine+permute."""
+    h = permute(v)
+    m = h.shape[-1]
+    while m > 1:
+        half = m // 2
+        comb = fl.add(FR, h[..., :half], h[..., half : 2 * half])
+        if m % 2:
+            comb = jnp.concatenate([comb, h[..., -1:]], axis=-1)
+        h = permute(comb)
+        m = (m + 1) // 2
+    return h
+
+
 class Transcript:
     """Absorb-then-squeeze sponge. All methods trace under jit."""
 
     def __init__(self, label: int = 0):
-        self.state = jnp.asarray(FR.to_mont_int(label % bn254.R))
+        self.state = fl._dev_const(FR.to_mont_int(label % bn254.R))
 
     def absorb_fr(self, v_mont) -> None:
-        v = v_mont.reshape(-1, FR.nlimbs)
-        for i in range(v.shape[0]):
-            self.state = permute(fl.add(FR, self.state, _as_fr(v[i])))
+        """Absorb a batch of Fr elements [..., L, m] (any leading dims)."""
+        v = v_mont.reshape(-1, FR.nlimbs, v_mont.shape[-1])
+        flat = jnp.concatenate([_as_fr(v[i]) for i in range(v.shape[0])],
+                               axis=-1)
+        digest = _tree_digest(flat)
+        self.state = permute(fl.add(FR, self.state, digest))
 
     def absorb_point(self, p) -> None:
         """Absorb projective coordinates limb-wise (Fq limbs reinterpreted
-        as Fr representatives — deterministic on both sides)."""
+        as Fr representatives — deterministic on both sides, which is all
+        Fiat-Shamir binding needs)."""
         for coord in (p.x, p.y, p.z):
-            flat = coord.reshape(-1, coord.shape[-1])
-            for i in range(flat.shape[0]):
-                self.state = permute(
-                    fl.add(FR, self.state, _as_fr(flat[i])))
+            self.absorb_fr(coord)
 
     def challenge(self):
-        """Squeeze one Fr challenge (Montgomery form)."""
+        """Squeeze one Fr challenge [L, 1] (Montgomery form)."""
         self.state = permute(self.state)
         return self.state
 
     def challenges(self, n: int):
-        return jnp.stack([self.challenge() for _ in range(n)])
+        """[L, n] challenges."""
+        return jnp.concatenate([self.challenge() for _ in range(n)],
+                               axis=-1)
 
 
 def _as_fr(limbs):
-    """Reduce an arbitrary 13-bit limb vector to a canonical Fr element
-    (value < R < 2^260: one Montgomery mul by R^2 then by 1 would be
-    exact; a single cond-sub chain suffices for sponge use since we
-    only need determinism + near-uniformity)."""
-    one = np.zeros((FR.nlimbs,), dtype=np.uint32)
-    one[0] = 1
-    # mont_mul(x, R2) = x*R mod p (canonical); then *R^-1 via mont one
-    t = fl.mont_mul(FR, limbs, jnp.asarray(FR.r2_limbs))
-    return fl.mont_mul(FR, t, jnp.asarray(one))
+    """Reduce an arbitrary 13-bit limb array [L, m] to canonical Fr
+    elements (mont_mul by R^2 then by 1 is exact for values < R)."""
+    t = fl.mont_mul(FR, limbs, fl._dev_const(FR.r2_limbs))
+    return fl.mont_mul(FR, t, fl._dev_const(FR.one_std))

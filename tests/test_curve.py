@@ -23,8 +23,9 @@ def rand_scalars(n):
 
 
 def roll_point(P):
-    return gp.Point(np.roll(P.x, -1, 0), np.roll(P.y, -1, 0),
-                    np.roll(P.z, -1, 0))
+    """Rotate the point batch along the vector (last) axis."""
+    return gp.Point(np.roll(P.x, -1, -1), np.roll(P.y, -1, -1),
+                    np.roll(P.z, -1, -1))
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +70,7 @@ def test_g1_scalar_mul(g1_batch):
     from legosnark_tpu.curve.bn254 import FR
     ks = [0, 1, 2, R - 1] + rand_scalars(2)
     P = gp.g1_generator((len(ks),))
-    karr = np.stack([fl.int_to_limbs(k, FR.nlimbs) for k in ks])
+    karr = fl.ints_to_limbs(ks, FR.nlimbs)
     out = jax.jit(gp.G1.scalar_mul)(P, karr)
     got = gp.g1_to_oracle_batch(out)
     for i, k in enumerate(ks):

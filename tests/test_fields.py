@@ -1,4 +1,8 @@
-"""Limb-engine field arithmetic vs Python bigints (bit-exact)."""
+"""Limb-engine field arithmetic vs Python bigints (bit-exact).
+
+Element layout under test: [..., L, V] — limb axis second-to-last,
+batch vector axis last (see fields/limb.py).
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,7 +19,13 @@ def rand_ints(spec, n):
 
 
 def to_limbs_batch(spec, xs):
-    return jnp.asarray(np.stack([fl.int_to_limbs(x, spec.nlimbs) for x in xs]))
+    """ints -> [L, n] canonical limbs."""
+    return jnp.asarray(fl.ints_to_limbs(xs, spec.nlimbs))
+
+
+def col(v, i):
+    """Limb column i of a [L, n] array -> [L]."""
+    return np.asarray(v)[..., :, i]
 
 
 @pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
@@ -49,12 +59,11 @@ def test_add_sub_neg(spec):
 def test_mont_mul(spec):
     xs = rand_ints(spec, 24) + [0, 1, spec.p - 1, spec.p - 1]
     ys = rand_ints(spec, 24) + [spec.p - 1, 1, spec.p - 1, 0]
-    Rm = spec.R % spec.p
-    a = jnp.asarray(np.stack([spec.to_mont_int(x) for x in xs]))
-    b = jnp.asarray(np.stack([spec.to_mont_int(y) for y in ys]))
+    a = jnp.asarray(spec.to_mont_ints(xs))
+    b = jnp.asarray(spec.to_mont_ints(ys))
     out = np.asarray(jax.jit(fl.mont_mul, static_argnums=0)(spec, a, b))
     for i, (x, y) in enumerate(zip(xs, ys)):
-        assert spec.from_mont_limbs(out[i]) == x * y % spec.p
+        assert spec.from_mont_limbs(col(out, i)) == x * y % spec.p
 
 
 @pytest.mark.parametrize("spec", [FQ, FR], ids=["Fq", "Fr"])
@@ -63,27 +72,27 @@ def test_to_from_mont(spec):
     a = to_limbs_batch(spec, xs)
     m = jax.jit(fl.to_mont, static_argnums=0)(spec, a)
     back = np.asarray(jax.jit(fl.from_mont, static_argnums=0)(spec, m))
-    assert [fl.limbs_to_int(r) for r in back] == xs
+    assert [fl.limbs_to_int(col(back, i)) for i in range(len(xs))] == xs
 
 
 def test_inv():
     xs = rand_ints(FR, 6) + [1, R - 1]
-    a = jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
+    a = jnp.asarray(FR.to_mont_ints(xs))
     out = np.asarray(jax.jit(fl.inv, static_argnums=0)(FR, a))
     for i, x in enumerate(xs):
-        assert FR.from_mont_limbs(out[i]) == pow(x, -1, R)
+        assert FR.from_mont_limbs(col(out, i)) == pow(x, -1, R)
     # inv(0) == 0 convention
     z = fl.zero(FR, (1,))
-    assert fl.limbs_to_int(np.asarray(fl.inv(FR, z))[0]) == 0
+    assert fl.limbs_to_int(np.asarray(fl.inv(FR, z))) == 0
 
 
 def test_batch_inv_scan():
     xs = rand_ints(FR, 5) + [0, 1]
-    a = jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
+    a = jnp.asarray(FR.to_mont_ints(xs))
     out = np.asarray(fl.batch_inv_scan(FR, a))
     for i, x in enumerate(xs):
         expect = pow(x, -1, R) if x else 0
-        assert FR.from_mont_limbs(out[i]) == expect
+        assert FR.from_mont_limbs(col(out, i)) == expect
 
 
 def test_carry_worst_case_chains():
@@ -93,15 +102,15 @@ def test_carry_worst_case_chains():
     a = to_limbs_batch(FR, [FR.p - 1])
     b = to_limbs_batch(FR, [1])
     s = np.asarray(fl.add(FR, a, b))
-    assert fl.limbs_to_int(s[0]) % FR.p == 0
+    assert fl.limbs_to_int(col(s, 0)) % FR.p == 0
     # value with long runs of MASK limbs
     chain = (1 << (13 * (L - 1))) - 1  # limbs: MASK * (L-1)
     x = chain % FR.p
     y = (FR.p - chain) % FR.p
     s2 = np.asarray(fl.add(FR, to_limbs_batch(FR, [x]), to_limbs_batch(FR, [y])))
-    assert fl.limbs_to_int(s2[0]) % FR.p == 0
+    assert fl.limbs_to_int(col(s2, 0)) % FR.p == 0
     # canon maps every representative back below p
-    assert fl.limbs_to_int(np.asarray(fl.canon(FR, s2))[0]) == 0
+    assert fl.limbs_to_int(np.asarray(fl.canon(FR, s2))) == 0
 
 
 def test_get_window():
@@ -114,7 +123,22 @@ def test_get_window():
 
 def test_mont_pow():
     x = rand_ints(FR, 1)[0]
-    a = jnp.asarray(np.stack([FR.to_mont_int(x)]))
+    a = jnp.asarray(FR.to_mont_ints([x]))
     for e in [0, 1, 2, 5, 1 << 20, R - 2]:
         out = np.asarray(fl.mont_pow(FR, a, e))
-        assert FR.from_mont_limbs(out[0]) == pow(x, e, R)
+        assert FR.from_mont_limbs(col(out, 0)) == pow(x, e, R)
+
+
+def test_leading_batch_axes():
+    """Ops must work with extra leading batch dims: [B, L, V]."""
+    xs = rand_ints(FR, 6)
+    ys = rand_ints(FR, 6)
+    a = jnp.asarray(FR.to_mont_ints(xs)).reshape(FR.nlimbs, 2, 3)
+    a = jnp.moveaxis(a, 1, 0)                      # [2, L, 3]
+    b = jnp.asarray(FR.to_mont_ints(ys)).reshape(FR.nlimbs, 2, 3)
+    b = jnp.moveaxis(b, 1, 0)
+    out = np.asarray(fl.mont_mul(FR, a, b))        # [2, L, 3]
+    got = sorted(FR.from_mont_limbs(out[i, :, j])
+                 for i in range(2) for j in range(3))
+    want = sorted(x * y % R for x, y in zip(xs, ys))
+    assert got == want

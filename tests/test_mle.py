@@ -2,6 +2,10 @@
 
 Covers `MultiVPolyT::evalMLE`, `mkBeta`, `DPMle`/`DPMatrixMle`
 (`/root/reference/src/prototools/{polytools.h,mle.h}`).
+
+Layout/conventions under test (see prototools/mle.py): tables are
+[L, 2^d] with the evaluation index on the vector axis; variable i sits
+at bit d-1-i of the index (big-endian), so folds are contiguous halves.
 """
 import numpy as np
 import jax
@@ -22,22 +26,24 @@ def rand_ints(n):
 
 
 def to_mont(ints):
-    return jnp.asarray(np.stack([FR.to_mont_int(x) for x in ints]))
+    """ints -> [L, n] Montgomery."""
+    return jnp.asarray(FR.to_mont_ints(ints))
 
 
 def from_mont_batch(arr):
+    """[L, n] (or [L, 1]) -> int or list of ints."""
     arr = np.asarray(arr)
-    if arr.ndim == 1:
-        return FR.from_mont_limbs(arr)
-    return [FR.from_mont_limbs(a) for a in arr]
+    if arr.shape[-1] == 1:
+        return FR.from_mont_limbs(arr[..., :, 0])
+    return [FR.from_mont_limbs(arr[..., :, i]) for i in range(arr.shape[-1])]
 
 
 def oracle_eval_mle(v, rs):
-    # fold variable 0 (lowest bit) first
+    # big-endian: bind variable 0 (the HIGH bit of the index) first
     v = list(v)
     for r in rs:
-        v = [(v[2 * j] + r * (v[2 * j + 1] - v[2 * j])) % R
-             for j in range(len(v) // 2)]
+        half = len(v) // 2
+        v = [(v[j] + r * (v[j + half] - v[j])) % R for j in range(half)]
     return v[0]
 
 
@@ -52,11 +58,11 @@ def test_eval_mle_matches_oracle():
 def test_mk_beta_and_closed_form():
     d = 3
     rho = rand_ints(d)
-    beta = np.array(from_mont_batch(jax.jit(mle.mk_beta)(to_mont(rho))))
+    beta = from_mont_batch(jax.jit(mle.mk_beta)(to_mont(rho)))
     for p in range(1 << d):
         expect = 1
         for i in range(d):
-            bit = (p >> i) & 1
+            bit = (p >> (d - 1 - i)) & 1  # variable i at bit d-1-i
             expect = expect * (rho[i] if bit else (1 - rho[i])) % R
         assert int(beta[p]) == expect
 
@@ -73,8 +79,7 @@ def test_matrix_mle_fold():
     n, d = 4, 2
     A = [rand_ints(n) for _ in range(n)]
     rho = rand_ints(d)
-    A_mont = jnp.asarray(np.stack(
-        [np.stack([FR.to_mont_int(x) for x in row]) for row in A]))
+    A_mont = jnp.asarray(np.stack([FR.to_mont_ints(row) for row in A]))
     beta = mle.mk_beta(to_mont(rho))
     out = from_mont_batch(jax.jit(mle.matrix_mle_fold)(A_mont, beta))
     beta_int = from_mont_batch(beta)
@@ -91,15 +96,14 @@ def test_prove_rounds_completeness():
     tables = jnp.stack([to_mont(t) for t in tabs])
     out = jax.jit(mle.prove_rounds)(tables, to_mont(chal))
 
-    true_sum = sum(
-        int(np.prod([1], dtype=object)) * tabs[0][p] * tabs[1][p] * tabs[2][p]
-        for p in range(1 << d)) % R
+    true_sum = sum(tabs[0][p] * tabs[1][p] * tabs[2][p]
+                   for p in range(1 << d)) % R
     zs = from_mont_batch(out.zs)
     assert zs[0] == true_sum
 
-    hs = np.asarray(out.h_coeffs)
+    hs = np.asarray(out.h_coeffs)  # [d, L, k+1]
     for i in range(d):
-        coeffs = [FR.from_mont_limbs(hs[i, j]) for j in range(k + 1)]
+        coeffs = [FR.from_mont_limbs(hs[i, :, j]) for j in range(k + 1)]
         h0 = coeffs[0]
         h1 = sum(coeffs) % R
         assert (h0 + h1) % R == zs[i]
@@ -109,6 +113,6 @@ def test_prove_rounds_completeness():
             acc = (acc * chal[i] + coeffs[j]) % R
         assert acc == zs[i + 1]
 
-    finals = from_mont_batch(out.finals)
-    assert int(np.prod([1], dtype=object)) * finals[0] * finals[1] \
-        * finals[2] % R == zs[d]
+    finals = np.asarray(out.finals)  # [k, L, 1]
+    f_ints = [FR.from_mont_limbs(finals[t, :, 0]) for t in range(k)]
+    assert f_ints[0] * f_ints[1] * f_ints[2] % R == zs[d]

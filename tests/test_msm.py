@@ -26,7 +26,8 @@ def rand_fr_ints(n):
 
 
 def fr_canonical(ints):
-    return np.stack([fl.int_to_limbs(x, bn254.FR.nlimbs) for x in ints])
+    """ints -> [L, n] canonical limbs (vector axis minor)."""
+    return fl.ints_to_limbs(ints, bn254.FR.nlimbs)
 
 
 def rand_g1_points(n):

@@ -17,7 +17,7 @@ rng = np.random.default_rng(11)
 
 
 def f12_to_oracle(a):
-    """Single device Fq12 [2, 3, 2, L] -> oracle nested int tuples."""
+    """Single device Fq12 [2, 3, 2, L] (no vector axis) -> oracle ints."""
     a = np.asarray(a)
     spec = bn254.FQ
 
@@ -52,8 +52,8 @@ def test_miller_and_pairing_match_oracle():
         exp_ml = oracle.miller_loop(
             oracle.untwist(qs[i]),
             (oracle.f12_from_fq(ps[i][0]), oracle.f12_from_fq(ps[i][1])))
-        assert f12_to_oracle(ml[i]) == exp_ml
-        assert f12_to_oracle(full[i]) == oracle.final_exp(exp_ml)
+        assert f12_to_oracle(ml[..., i]) == exp_ml
+        assert f12_to_oracle(full[..., i]) == oracle.final_exp(exp_ml)
 
 
 def test_pairing_bilinearity_on_device():
@@ -68,7 +68,7 @@ def test_pairing_bilinearity_on_device():
     qx, qy, _ = jax.jit(pr.g2_affine)(q_dev)
     e = jax.jit(pr.pairing)(px, py, qx, qy)
 
-    e_pq, e_2pq, e_p2q = (f12_to_oracle(e[i]) for i in range(3))
+    e_pq, e_2pq, e_p2q = (f12_to_oracle(e[..., i]) for i in range(3))
     sq = oracle.f12_mul(e_pq, e_pq)
     assert e_2pq == sq
     assert e_p2q == sq
@@ -84,7 +84,7 @@ def test_simple_pairing_check():
     b2_good = g2_from_oracle([oracle.g2_mul(q, 2)])
     b2_bad = g2_from_oracle([oracle.g2_mul(q, 3)])
 
-    one = lambda pt: Point(pt.x[0], pt.y[0], pt.z[0])
+    one = lambda pt: pt  # [L, 1] batches are already single points
     check = jax.jit(pr.simple_pairing_check)
     assert bool(check(one(a1), one(a2), one(b1), one(b2_good)))
     assert not bool(check(one(a1), one(a2), one(b1), one(b2_bad)))
