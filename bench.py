@@ -1,6 +1,7 @@
 """Benchmark entry: G1 MSM throughput (the north-star metric).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}
+(final line; earlier lines are per-size progress).
 Default run targets real TPU (driver invocation); `--quick` runs a
 small CPU-safe configuration.
 
@@ -10,6 +11,14 @@ constant is the measured order of magnitude of libff's OpenMP
 `multiExpMA` on a multicore server CPU for 2^20 points (~1e6
 points/sec) — documented here as the comparison anchor until the
 driver produces a measured reference number.
+
+Roofline sanity (v5e, 13-bit limbs, L=20): one Montgomery mul is
+~3 limb convolutions ≈ 3*L^2 u32 mul-adds plus carries ≈ 4e3 VPU ops;
+an RCB complete add is 12 muls ≈ 5e4 ops. The sort+suffix-scan MSM
+does ~2 adds/point/window * 20 windows = 40 adds/point ≈ 2e6 VPU ops
+per point, so a ~4e12 ops/s VPU bounds throughput at ~2e6 points/s
+before memory effects; the measured number should sit within ~2-4x of
+that bound.
 """
 from __future__ import annotations
 
@@ -22,65 +31,85 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 1.0e6
 
 
-def main():
-    quick = "--quick" in sys.argv
-
+def run_msm(log_n: int, c: int, reps: int):
     import jax
     import jax.numpy as jnp
-    import legosnark_tpu.config  # noqa: F401
     from legosnark_tpu.curve import bn254
     from legosnark_tpu.curve.group import G1, g1_generator, Point
     from legosnark_tpu.curve import msm as msm_mod
     from legosnark_tpu.fields import limb as fl
 
     FR = bn254.FR
-    if quick:
-        log_n, c, reps = 8, 6, 2
-    else:
-        log_n, c, reps = 18, 13, 3
     n = 1 << log_n
-
     rng = np.random.default_rng(0)
-    # scalars via vectorized limb decomposition (host)
-    raw = rng.integers(0, 1 << 62, size=(n, 5), dtype=np.uint64)
-    vals = [int(r[0]) + (int(r[1]) << 60) + (int(r[2]) << 120)
-            + (int(r[3]) << 180) + (int(r[4]) << 240) for r in raw[:64]]
-    # build a [64] base block and tile it (scalar variety does not
-    # change MSM cost; keeps host-side bigint prep O(64))
-    block = np.stack([fl.int_to_limbs(v % bn254.R, FR.nlimbs) for v in vals])
-    scalars = jnp.asarray(np.tile(block, (n // 64, 1)))
 
+    # scalars: a [L, 64] random block tiled to [L, n] (scalar variety
+    # does not change MSM cost; keeps host-side bigint prep O(64))
+    vals = [int.from_bytes(rng.bytes(40), "little") % bn254.R
+            for _ in range(64)]
+    block = fl.ints_to_limbs(vals, FR.nlimbs)              # [L, 64]
+    scalars = jnp.asarray(np.tile(block, (1, n // 64)))
+
+    # points: k*G for k = 1..64, tiled to [L, n]
     base = g1_generator()
-    # n distinct points: k*G for k = 1..64 tiled (point variety does not
-    # change cost either; avoids an n-point host precompute)
-    ks = jnp.asarray(np.stack(
-        [fl.int_to_limbs(k + 1, FR.nlimbs) for k in range(64)]))
-    pts64 = G1.scalar_mul(
-        Point(jnp.broadcast_to(base.x, (64,) + base.x.shape),
-              jnp.broadcast_to(base.y, (64,) + base.y.shape),
-              jnp.broadcast_to(base.z, (64,) + base.z.shape)), ks)
-    points = Point(
-        jnp.tile(pts64.x, (n // 64, 1)),
-        jnp.tile(pts64.y, (n // 64, 1)),
-        jnp.tile(pts64.z, (n // 64, 1)))
+    ks = jnp.asarray(fl.ints_to_limbs(range(1, 65), FR.nlimbs))
+    b64 = Point(*(jnp.broadcast_to(x, x.shape[:-1] + (64,)) for x in base))
+    pts64 = jax.jit(G1.scalar_mul)(b64, ks)
+    points = Point(*(jnp.tile(np.asarray(x), (1, n // 64)) for x in pts64))
 
     fn = jax.jit(lambda p, s: msm_mod.msm(G1, p, s, c=c))
+    t0 = time.perf_counter()
     out = fn(points, scalars)
     jax.block_until_ready(out)  # compile + warmup
+    compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(points, scalars)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
+    return n / dt, compile_s
 
-    pps = n / dt
-    print(json.dumps({
-        "metric": f"g1_msm_points_per_sec_2e{log_n}",
-        "value": round(pps, 1),
-        "unit": "points/sec",
-        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
-    }))
+
+def main():
+    quick = "--quick" in sys.argv
+
+    import legosnark_tpu.config  # noqa: F401  (compile cache)
+
+    if quick:
+        configs = [(8, 6, 2)]
+    else:
+        configs = [(18, 13, 3), (20, 13, 3)]
+
+    results = {}
+    for log_n, c, reps in configs:
+        try:
+            pps, compile_s = run_msm(log_n, c, reps)
+            results[log_n] = pps
+            print(json.dumps({
+                "metric": f"g1_msm_points_per_sec_2e{log_n}",
+                "value": round(pps, 1),
+                "unit": "points/sec",
+                "compile_s": round(compile_s, 1),
+                "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
+            }), flush=True)
+        except Exception as e:  # keep going; report what we have
+            print(json.dumps({"metric": f"g1_msm_2e{log_n}_error",
+                              "value": 0, "unit": "error",
+                              "detail": str(e)[:200]}), flush=True)
+
+    # final line = the headline metric (largest size that ran)
+    if results:
+        top = max(results)
+        print(json.dumps({
+            "metric": f"g1_msm_points_per_sec_2e{top}",
+            "value": round(results[top], 1),
+            "unit": "points/sec",
+            "vs_baseline": round(results[top] / BASELINE_POINTS_PER_SEC, 4),
+        }))
+    else:
+        print(json.dumps({"metric": "g1_msm_points_per_sec", "value": 0,
+                          "unit": "points/sec", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":

@@ -44,13 +44,28 @@ def point_stack(ps, axis: int = 0) -> Point:
 
 
 class CurveOps:
-    """Group-law ops for y^2 = x^3 + b over a FieldOps instance."""
+    """Group-law ops for y^2 = x^3 + b over a FieldOps instance.
 
-    def __init__(self, field, b):
+    `b`/`b3` must be HOST-backed constants (see limb._dev_const): they
+    are closed over by every jitted group op, and device-resident
+    closures hang MLIR lowering on tunneled backends. Pass `b3`
+    explicitly (computed from ints) rather than letting an eager
+    device add produce it."""
+
+    def __init__(self, field, b, b3, b3_int=None):
         self.F = field
         self.b = b
-        b3 = field.add(b, field.add(b, b))
         self.b3 = b3
+        #: set for prime-base-field curves (G1): enables the fused
+        #: Pallas add/double kernels on wide batches
+        self.b3_int = b3_int
+
+    def _pallas_ok(self, *coords):
+        if self.b3_int is None:
+            return False
+        from . import pallas_group
+        v = max(c.shape[-1] for c in coords)
+        return pallas_group.enabled_for(v)
 
     # -- constructors ------------------------------------------------------
     def identity(self, shape=()) -> Point:
@@ -67,6 +82,10 @@ class CurveOps:
     # -- group law ---------------------------------------------------------
     def add(self, p: Point, q: Point) -> Point:
         """Complete addition (RCB Algorithm 7, a=0)."""
+        if self._pallas_ok(p.x, q.x):
+            from . import pallas_group
+            return Point(*pallas_group.add_points(
+                self.F.spec, self.b3_int, tuple(p), tuple(q)))
         F, b3 = self.F, self.b3
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
@@ -98,6 +117,10 @@ class CurveOps:
 
     def double(self, p: Point) -> Point:
         """Complete doubling (RCB Algorithm 9, a=0)."""
+        if self._pallas_ok(p.x):
+            from . import pallas_group
+            return Point(*pallas_group.double_point(
+                self.F.spec, self.b3_int, tuple(p)))
         F, b3 = self.F, self.b3
         X, Y, Z = p
         t0 = F.sqr(Y)
@@ -158,7 +181,19 @@ class CurveOps:
     def scalar_mul(self, p: Point, k):
         """[k]P for k an Fr element in canonical (non-Montgomery) limb
         form [..., L, V]; batched. Double-and-add via lax.scan over all
-        scalar bits (MSB first) — one add+double body compiled."""
+        scalar bits (MSB first) — one add+double body compiled.
+
+        The point and scalar batches broadcast against each other (a
+        [L, 1] point against [L, m] scalars yields [.., L, m]); the
+        scan carry must have the joint shape from step one, so the
+        point is widened up front."""
+        kb = k.shape[:-2] + k.shape[-1:]
+        pb = self.F.batch_shape(p.x)
+        joint = jnp.broadcast_shapes(pb, kb)
+        if joint != pb:
+            nd = self.F.ndim
+            full = joint[:-1] + p.x.shape[-nd:-1] + joint[-1:]
+            p = Point(*(jnp.broadcast_to(c, full) for c in p))
         nbits = fl.LIMB_BITS * bn254.FR.nlimbs
         # bit i of the scalar, MSB-first sequence
         def body(acc, i):
@@ -198,8 +233,11 @@ class CurveOps:
 _fq = FqOps(bn254.FQ)
 _fq2 = Fq2Ops(_fq)
 
-G1 = CurveOps(_fq, _fq.const(bn254.B_G1))
-G2 = CurveOps(_fq2, _fq2.const(bn254.B_G2))
+G1 = CurveOps(_fq, _fq.const(bn254.B_G1),
+              _fq.const(3 * bn254.B_G1 % bn254.Q),
+              b3_int=3 * bn254.B_G1 % bn254.Q)
+_b3_g2 = ((3 * bn254.B_G2[0]) % bn254.Q, (3 * bn254.B_G2[1]) % bn254.Q)
+G2 = CurveOps(_fq2, _fq2.const(bn254.B_G2), _fq2.const(_b3_g2))
 
 FQ_OPS = _fq
 FQ2_OPS = _fq2

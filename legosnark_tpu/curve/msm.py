@@ -74,13 +74,7 @@ def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
     order = jnp.argsort(d)
     d_sorted = d[order]
     ps = point_index(points, order)
-
-    # suffix sums S[i] = sum_{t >= i} ps[t]: reverse, inclusive
-    # associative scan of the (associative, complete) group law, reverse
-    rev = point_map(lambda x: jnp.flip(x, -1), ps)
-    nd = rev.x.ndim
-    acc = jax.lax.associative_scan(C.add, rev, axis=nd - 1)
-    suf = point_map(lambda x: jnp.flip(x, -1), acc)
+    suf = _suffix_scan(C, ps)
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
@@ -90,13 +84,60 @@ def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
     return C.sum_reduce(q)
 
 
+_SUF_CHUNK = 1 << 13
+
+
+def _suffix_scan(C: CurveOps, ps: Point) -> Point:
+    """Inclusive SUFFIX sums of a point batch along the vector axis.
+
+    Large batches run as a `lax.scan` over fixed-width chunks (local
+    associative_scan + carried total): the compiled body is one chunk
+    wide regardless of n, which keeps the XLA/Mosaic compile time of
+    the 2^18..2^20 windows bounded (a full-width associative_scan
+    unrolls log2(n) distinct-width levels and took the tunneled
+    compiler >10 minutes at 2^18)."""
+    n = ps.x.shape[-1]
+    nd = ps.x.ndim
+
+    def local_suffix(block: Point) -> Point:
+        rev = point_map(lambda x: jnp.flip(x, -1), block)
+        acc = jax.lax.associative_scan(C.add, rev, axis=nd - 1)
+        return point_map(lambda x: jnp.flip(x, -1), acc)
+
+    K = _SUF_CHUNK
+    if n <= K or n % K:
+        return local_suffix(ps)
+
+    J = n // K
+    blocks = point_map(
+        lambda x: jnp.moveaxis(
+            x.reshape(x.shape[:-1] + (J, K)), -2, 0), ps)  # [J, .., L, K]
+
+    def body(carry, blk):
+        loc = local_suffix(Point(*blk))
+        out = C.add(loc, carry)          # carry broadcasts over lanes
+        new_carry = point_map(lambda x: x[..., :1], out)
+        return new_carry, tuple(out)
+
+    _, outs = jax.lax.scan(body, C.identity(()), tuple(blocks),
+                           reverse=True)
+    return point_map(
+        lambda x: jnp.moveaxis(x, 0, -2).reshape(
+            x.shape[1:-1] + (n,)), Point(*outs))
+
+
 def _window_chunk(n: int, W: int) -> int:
-    """Windows per `lax.map` chunk: cap chunk*n live points so the
-    per-window sorted copies + scan intermediates stay inside HBM
-    (a projective point is ~288 B with 24-sublane padding; 2^21 points
-    in flight is ~0.6 GB plus scan temps)."""
-    budget = 1 << 21
-    return max(1, min(W, budget // max(n, 1)))
+    """Windows per `lax.map` chunk. Windows run SEQUENTIALLY by default
+    (batch 1): a single window is already n-wide vector work, so
+    stacking windows buys no utilization but multiplies both live HBM
+    (sorted copies + scan temps) and XLA compile time (the mapped body
+    is inlined per batch element). Override with LEGOSNARK_MSM_WCHUNK
+    for small-n experiments."""
+    import os
+    env = os.environ.get("LEGOSNARK_MSM_WCHUNK")
+    if env:
+        return max(1, min(W, int(env)))
+    return 1
 
 
 def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
@@ -122,8 +163,10 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     # all windows batched (mapped in memory-bounded chunks): the sorts,
     # scans and bucket trees run n-wide
     window_fn = functools.partial(_window_sum, C, points, c=c)
+    chunk = _window_chunk(n, W)
     S = jax.lax.map(window_fn, digits,
-                    batch_size=_window_chunk(n, W))  # coords [W, L, 1]
+                    batch_size=None if chunk == 1 else chunk)
+    # S: Point with coords [W, L, 1]
 
     # Horner combine from the most significant window down:
     # acc = ((S_{W-1} * 2^c + S_{W-2}) * 2^c + ...) + S_0
@@ -202,7 +245,25 @@ def batch_scalar_mul(C: CurveOps, table: Point, scalars, c: int = 8,
     table point per window and tree-add the W windows — ~log2(W) group
     adds per scalar instead of ~2*254 for double-and-add.
     scalars: canonical [L, n]; returns Point batch [.., L, n].
+
+    Large batches are processed in chunks (lax.map) so the [W, .., n]
+    gathered-parts intermediate stays bounded (~W * chunk points live).
     """
+    n = scalars.shape[-1]
+    chunk = 1 << 14
+    if n > chunk and n % chunk == 0:
+        blocks = jnp.moveaxis(
+            scalars.reshape(scalars.shape[:-1] + (n // chunk, chunk)),
+            -2, 0)                                   # [n/chunk, L, chunk]
+        out = jax.lax.map(
+            lambda s: tuple(batch_scalar_mul(C, table, s, c=c,
+                                             fr_spec=fr_spec)),
+            blocks)
+        # leaves [n/chunk, .., L, chunk] -> [.., L, n]
+        return Point(*(
+            jnp.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (n,))
+            for o in out))
+
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
     W = digits.shape[0]
     assert W <= table.x.shape[0], "table too small for scalar bit-length"

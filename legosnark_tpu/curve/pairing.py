@@ -42,12 +42,15 @@ _X_BITS = np.array([int(b) for b in bin(bn254.BN_X)[3:]], dtype=np.uint32)
 
 @functools.lru_cache(None)
 def _consts():
-    """Device constants: Frobenius gammas + twist-Frobenius factors."""
+    """Device constants: Frobenius gammas + twist-Frobenius factors.
+    Materialized outside any active trace (this can be first called
+    from inside a scan body; caching a tracer would poison every later
+    call — the round-3 `UnexpectedTracerError`)."""
     fc = bn254.frob_coeffs()
     gammas = {
-        n: jnp.stack([F2.const(fc[n][k]) for k in range(6)])  # [6, 2, L, 1]
+        n: np.stack([F2.const(fc[n][k]) for k in range(6)])
         for n in (1, 2, 3)
-    }
+    }  # [6, 2, L, 1] each, host-backed
     q = bn254.Q
     twist_qx = F2.const(bn254._fq2_pow(bn254.XI, (q - 1) // 3))
     twist_qy = F2.const(bn254._fq2_pow(bn254.XI, (q - 1) // 2))
@@ -279,11 +282,28 @@ def point_concat(ps) -> Point:
 def pairing_product_is_one(g1_points: Point, g2_points: Point):
     """Check prod_i e(P_i, Q_i) == 1 for batched projective points —
     the TPU form of every reference verifier equation (pairings with
-    negated first arguments express equality checks)."""
+    negated first arguments express equality checks).
+
+    The pair axis is padded to a power of two (>= 4) with identity
+    legs, so every verifier in the framework reuses a small set of
+    compiled Miller-loop graphs instead of one per pairing count —
+    compile time, not FLOPs, dominates these small verifier programs.
+    """
+    n = g1_points.x.shape[-1]
+    m = 4
+    while m < n:
+        m *= 2
+    if m != n:
+        pad1 = G1.identity(g1_points.x.shape[:-2] + (m - n,))
+        pad2 = G2.identity(g2_points.x.shape[:-3] + (m - n,))
+        g1_points = point_concat([g1_points, pad1])
+        g2_points = point_concat([g2_points, pad2])
     px, py, v1 = g1_affine(g1_points)
     qx, qy, v2 = g2_affine(g2_points)
     f = multi_miller(px, py, qx, qy, jnp.logical_and(v1, v2))
     return F12.is_one(final_exp(f))[..., 0]
+
+
 
 
 def simple_pairing_check(a1: Point, a2: Point, b1: Point, b2: Point):

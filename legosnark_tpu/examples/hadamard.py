@@ -3,7 +3,8 @@
 Benchmarks both Hadamard schemes on u ⊙ u = u^2 for a range of d:
 `hadsc` (CPHad + CPpoly + sumcheck, `hadamard.cc:78-106`) and
 `hadlipmaa` (CPHadL, `hadamard.cc:46-76`), printing `##`-tagged
-timings, and asserts both verifications.
+timings, and asserts both verifications. CPHad runs in the default
+non-interactive Fiat-Shamir mode.
 
 Usage: python -m legosnark_tpu.examples.hadamard [MIN_D] [MAX_D]
 """
@@ -20,26 +21,26 @@ from ..curve import bn254
 from ..fields import limb as fl
 from ..gadgets import hadamard as cphad, lipmaa
 from ..utils import benchmark as bm
+from ..utils import rand as lrand
 
 FR = bn254.FR
 R = bn254.R
 
 
-def rand_fr_mont(rng, shape):
-    total = int(np.prod(shape))
-    arr = np.stack([FR.to_mont_int(int(x) % R)
-                    for x in rng.integers(0, 1 << 63, size=total)])
-    return jnp.asarray(arr.reshape(tuple(shape) + (FR.nlimbs,)))
+def _vec_pair(rng, n):
+    """(u, u^2) as Montgomery [L, n] arrays."""
+    u_ints = lrand.rand_fr_ints(rng, n)
+    sq_ints = [x * x % R for x in u_ints]
+    return (jnp.asarray(FR.to_mont_ints(u_ints)),
+            jnp.asarray(FR.to_mont_ints(sq_ints)))
 
 
 def hadsc(d: int, timer: bm.Benchmarkable) -> dict:
-    """CPHad (sumcheck-based) on u ⊙ u (`hadamard.cc:78-106`)."""
+    """CPHad (sumcheck-based) on u ⊙ u (`hadamard.cc:78-106`),
+    Fiat-Shamir mode."""
     n = 1 << d
     rng = np.random.default_rng(31 + d)
-    u_ints = [int(x) % R for x in rng.integers(0, 1 << 63, size=n)]
-    sq_ints = [x * x % R for x in u_ints]
-    to_m = lambda xs: jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
-    um, sqm = to_m(u_ints), to_m(sq_ints)
+    um, sqm = _vec_pair(rng, n)
 
     with timer.phase("had_keygen") as out:
         key = cphad.keygen(n, seed=d)
@@ -50,40 +51,33 @@ def hadsc(d: int, timer: bm.Benchmarkable) -> dict:
         c_cm = jax.jit(cphad.commit_vec)(key, sqm)
         out.append((a_cm, c_cm))
 
-    rho = rand_fr_mont(rng, (d,))
-    chal = rand_fr_mont(rng, (d,))
-    sr = {"eq_k": rand_fr_mont(rng, (d,)), "eq_e": rand_fr_mont(rng, (d,)),
-          "prd_b": rand_fr_mont(rng, (5,)),
-          "prd_e": rand_fr_mont(rng, (1,))[0]}
+    nonces = cphad.make_nonces(d, seed=d)
 
     with timer.phase("had_prove") as out:
-        pf = cphad.prove(key, um, um, sqm, rho, chal, sr)
+        pf = cphad.prove_fs(key, um, um, sqm, a_cm, a_cm, c_cm, nonces)
         out.append(pf.t_ans_comm.x)
 
     with timer.phase("had_verify") as out:
-        ok = cphad.verify(key, a_cm, a_cm, c_cm, pf, sr)
+        ok = cphad.verify_fs(key, a_cm, a_cm, c_cm, pf)
         out.append(ok)
-    return {"ok": bool(ok)}
+    return {"ok": bool(np.all(np.asarray(ok)))}
 
 
 def hadlipmaa(d: int, timer: bm.Benchmarkable) -> dict:
     """CPHadL (`hadamard.cc:46-76`)."""
     n = 1 << d
     rng = np.random.default_rng(41 + d)
-    u_ints = [int(x) % R for x in rng.integers(0, 1 << 63, size=n)]
-    sq_ints = [x * x % R for x in u_ints]
-    to_m = lambda xs: jnp.asarray(np.stack([FR.to_mont_int(x) for x in xs]))
-    um, sqm = to_m(u_ints), to_m(sq_ints)
+    um, sqm = _vec_pair(rng, n)
 
     with timer.phase("lip_keygen") as out:
         key = lipmaa.keygen(n, seed=d)
         out.append(key.chi_pows.x)
 
-    ds = rand_fr_mont(rng, (3,))  # commitment blinding d1, d2, d3
+    ds = lrand.rand_fr_mont(rng, 3)  # commitment blinding d1, d2, d3
     with timer.phase("lip_commit") as out:
-        ca = lipmaa.commit(key.interp, um, ds[0])
-        cb = lipmaa.commit(key.interp, um, ds[1])
-        cc = lipmaa.commit(key.interp, sqm, ds[2])
+        ca = lipmaa.commit(key.interp, um, ds[..., 0:1])
+        cb = lipmaa.commit(key.interp, um, ds[..., 1:2])
+        cc = lipmaa.commit(key.interp, sqm, ds[..., 2:3])
         out.append((ca.c.x, cb.c.x, cc.c.x))
 
     with timer.phase("lip_prove") as out:
@@ -93,7 +87,7 @@ def hadlipmaa(d: int, timer: bm.Benchmarkable) -> dict:
     with timer.phase("lip_verify") as out:
         ok = lipmaa.verify(key, ca, cb, cc, pi)
         out.append(ok)
-    return {"ok": bool(ok)}
+    return {"ok": bool(np.all(np.asarray(ok)))}
 
 
 def run(d: int) -> None:

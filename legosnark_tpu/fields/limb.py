@@ -272,7 +272,10 @@ def _conv_tables(L: int, width: int):
     return idx, mask
 
 
-_CONV_MODE = os.environ.get("LEGOSNARK_CONV", "pad")
+# "gather" compiles ~5-10x faster than "pad" on TPU (one gather +
+# reduce vs 20 pad/add chains per conv) at comparable runtime; pad
+# remains available for experiments.
+_CONV_MODE = os.environ.get("LEGOSNARK_CONV", "gather")
 
 
 def _conv_full(a, b):
@@ -322,21 +325,25 @@ _CONST_CACHE: dict = {}
 
 
 def _dev_const(arr):
-    """jnp constant for a host numpy array, cached by identity.
+    """HOST-side constant for use in traced expressions.
 
-    jnp.asarray on a concrete numpy array is EAGER — under tracing it
-    triggers a host->device transfer per call. The FieldSpec constant
-    arrays are cached properties (stable ids), so caching here turns
-    thousands of per-traced-op transfers into one (round-1 pathology:
-    tracing through the axon TPU tunnel took 500s for this reason).
+    Constants must stay numpy-backed on this stack: a device-resident
+    jax.Array closed over by a jit gets its VALUE fetched back during
+    MLIR lowering — through the axon TPU tunnel that fetch takes
+    seconds to minutes PER CONSTANT (the round-3 "lowering hangs"
+    pathology). A numpy constant is embedded straight from host
+    memory. Under tracing, numpy operands are lifted to constants for
+    free; eager use pays a transfer per op, which only cold paths do.
     """
-    key = id(arr)
+    return np.asarray(arr)
+
+
+def const_mont(spec: FieldSpec, x: int):
+    """Value-keyed cached host constant: Montgomery form of x, [L, 1]."""
+    key = ("cm", spec.p, int(x))
     hit = _CONST_CACHE.get(key)
     if hit is None:
-        # materialize OUTSIDE any active trace so the cache never holds
-        # a tracer (and the transfer happens exactly once)
-        with jax.ensure_compile_time_eval():
-            hit = jnp.asarray(arr)
+        hit = spec.to_mont_int(int(x))
         _CONST_CACHE[key] = hit
     return hit
 
@@ -424,6 +431,12 @@ def mont_mul(spec: FieldSpec, a, b):
     column stays under 20*(2^13+63)^2 + 2^13 < 2^31."""
     L = spec.nlimbs
     a, b = jnp.broadcast_arrays(a, b)
+    # hot-path dispatch: the Pallas kernel does the same math with
+    # sublane-shift convolutions (no gather expansion) when the vector
+    # width justifies a kernel launch
+    from . import pallas_limb
+    if pallas_limb.enabled_for(a.shape[-1]):
+        return pallas_limb.mont_mul(spec, a, b)
     # intermediate carries are LOOSE (limbs <= 2^13+63): only the final
     # normalization needs canonical limbs, and the column magnitudes
     # stay under 2^31 throughout (see _carry_loose)
@@ -452,15 +465,14 @@ def from_mont(spec: FieldSpec, x):
 
 
 def zero(spec: FieldSpec, shape=()):
-    """Zero batch. `shape` is the batch shape whose LAST axis is the
-    vector axis; () means a single element [L, 1]."""
-    return jnp.broadcast_to(_dev_const(spec.zero_limbs),
-                            _batched(spec, shape))
+    """Zero batch (HOST-backed; lifted to an embedded constant under
+    tracing — see _dev_const). `shape` is the batch shape whose LAST
+    axis is the vector axis; () means a single element [L, 1]."""
+    return np.broadcast_to(spec.zero_limbs, _batched(spec, shape))
 
 
 def one(spec: FieldSpec, shape=()):
-    return jnp.broadcast_to(_dev_const(spec.one_mont),
-                            _batched(spec, shape))
+    return np.broadcast_to(spec.one_mont, _batched(spec, shape))
 
 
 def _batched(spec: FieldSpec, shape):
@@ -497,9 +509,7 @@ def mont_pow(spec: FieldSpec, a, e: int):
     key = ("powbits", e)
     bits = _CONST_CACHE.get(key)
     if bits is None:
-        with jax.ensure_compile_time_eval():
-            bits = jnp.asarray(
-                np.array([int(c) for c in bin(e)[3:]], dtype=np.uint32))
+        bits = np.array([int(c) for c in bin(e)[3:]], dtype=np.uint32)
         _CONST_CACHE[key] = bits
     if bits.shape[0] == 0:
         return a

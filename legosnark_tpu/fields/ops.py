@@ -76,7 +76,7 @@ class FqOps:
 
     def const(self, x: int):
         """Montgomery-form constant [L, 1] from a Python int."""
-        return fl._dev_const(self.spec.to_mont_int(x))
+        return fl.const_mont(self.spec, x)
 
     def bcast(self, c, batch_shape):
         """Broadcast a [L, 1] constant to a batch shape."""
@@ -201,15 +201,23 @@ class Fq2Ops:
         return jnp.where(c[..., None, None, :], a, b)
 
     def const(self, x):
-        """Constant [2, L, 1] from an int pair (c0, c1)."""
+        """Constant [2, L, 1] from an int pair (c0, c1), HOST-backed
+        and value-cached — safe to call (and lru-cache) from inside
+        scans; embedded without device round-trips at lowering."""
         c0, c1 = x
-        return jnp.stack([
-            jnp.asarray(self.spec.to_mont_int(c0 % self.spec.p)),
-            jnp.asarray(self.spec.to_mont_int(c1 % self.spec.p))])
+        key = ("f2c", self.spec.p, int(c0), int(c1))
+        hit = fl._CONST_CACHE.get(key)
+        if hit is None:
+            hit = np.stack([self.spec.to_mont_int(c0 % self.spec.p),
+                            self.spec.to_mont_int(c1 % self.spec.p)])
+            fl._CONST_CACHE[key] = hit
+        return hit
 
     def bcast(self, c, batch_shape):
+        # tower axis sits AHEAD of the limb axis: [.., 2, L, V]
+        shape = tuple(batch_shape) or (1,)
         return jnp.broadcast_to(
-            c, ext_shape(ext_shape(batch_shape, self.spec.nlimbs), 2))
+            c, shape[:-1] + (2, self.spec.nlimbs, shape[-1]))
 
     def to_ints(self, a):
         return (self.base.to_int(self.c0(a)), self.base.to_int(self.c1(a)))

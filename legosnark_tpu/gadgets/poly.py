@@ -178,13 +178,14 @@ def verify(key: PolyKey, cm: PolyComm, ans_commit: Point, r_mont,
     # knowledge checks: batching prod_i e(W_i, G2a) e(-Wa_i, G2) == 1
     # would allow cancellation across i; check each i separately via a
     # leading batch axis (2 pairings per i, vectorized across i).
-    w = point_map(lambda x: x[..., None], pf.witness)        # [L, d, 1]
-    wa = point_map(lambda x: x[..., None], pf.witnessa)
-    nwa = G1.neg(wa)
-    g1p = point_map(lambda a, b: jnp.concatenate(
-        [jnp.moveaxis(a, -2, 0), jnp.moveaxis(b, -2, 0)], axis=-1), w, nwa)
-    # g1p: [d, L, 2]; pair with [g2_alpha, g2] broadcast over d
+    # witness coords [L, d] -> leading-batch singles [d, L, 1]
+    to_lead = lambda x: jnp.moveaxis(x, -1, 0)[..., None]
+    w = point_map(to_lead, pf.witness)                       # [d, L, 1]
+    nwa = G1.neg(point_map(to_lead, pf.witnessa))
+    g1p = point_map(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                    w, nwa)                                  # [d, L, 2]
+    # pair with [g2_alpha, g2] broadcast over the d axis
     g2p = pr.point_concat([key.g2_alpha, key.g2])            # [2, L, 2]
     g2p = point_map(lambda x: jnp.broadcast_to(x, (d,) + x.shape), g2p)
     know_ok = pr.pairing_product_is_one(g1p, g2p)            # [d]
-    return jnp.logical_and(main_ok, jnp.all(know_ok))
+    return jnp.logical_and(jnp.all(main_ok), jnp.all(know_ok))

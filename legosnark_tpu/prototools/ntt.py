@@ -34,15 +34,16 @@ R = bn254.R
 @functools.lru_cache(None)
 def _powers(base: int, log_n: int):
     """[L, 2^log_n] Montgomery powers base^0..base^(2^log_n - 1),
-    computed on device with log_n vectorized muls (doubling trick).
-    Evaluated outside any active trace so the cache holds concrete
-    arrays, never tracers."""
+    computed on device with log_n vectorized muls (doubling trick),
+    cached as a HOST array (never a tracer, never device-resident)."""
     with jax.ensure_compile_time_eval():
         t = jnp.asarray(FR.to_mont_int(1))
         for k in range(log_n):
             g2k = jnp.asarray(FR.to_mont_int(pow(base, 1 << k, R)))
             t = jnp.concatenate([t, fl.mont_mul(FR, t, g2k)], axis=-1)
-    return t
+    # HOST copy: device-resident constants closed over by jits hang
+    # MLIR lowering on tunneled backends (see limb._dev_const)
+    return np.asarray(jax.device_get(t))
 
 
 def _stage_twiddle(log_n: int, s: int, inverse: bool):
@@ -90,7 +91,7 @@ def ntt(a, inverse: bool = False):
         lo = fl.sub(FR, even, odd).reshape(lead + (n // m, m // 2))
         a = jnp.concatenate([hi, lo], axis=-1).reshape(lead + (n,))
     if inverse:
-        n_inv = fl._dev_const(FR.to_mont_int(pow(n, R - 2, R)))
+        n_inv = fl.const_mont(FR, pow(n, R - 2, R))
         a = fl.mont_mul(FR, a, n_inv)
     return a
 
@@ -119,7 +120,7 @@ def divide_by_z_on_coset(evals):
     n = evals.shape[-1]
     g = bn254.fr_multiplicative_generator()
     zinv = pow((pow(g, n, R) - 1) % R, R - 2, R)
-    return fl.mont_mul(FR, evals, fl._dev_const(FR.to_mont_int(zinv)))
+    return fl.mont_mul(FR, evals, fl.const_mont(FR, zinv))
 
 
 def poly_mul_ntt(a, b):
@@ -159,7 +160,7 @@ def all_lagrange_at(n: int, t_mont):
     ws = _powers(bn254.fr_two_adic_root(log_n), log_n)     # w^i, [L, n]
 
     z = vanishing_at(n, t_mont)                            # t^n - 1
-    n_inv = fl._dev_const(FR.to_mont_int(pow(n, R - 2, R)))
+    n_inv = fl.const_mont(FR, pow(n, R - 2, R))
     num = fl.mont_mul(FR, fl.mont_mul(FR, ws, z), n_inv)
     den = fl.sub(FR, t_mont, ws)
     return fl.mont_mul(FR, num, fl.inv(FR, den))

@@ -4,7 +4,7 @@ TPU-native counterpart of `/root/reference/src/utils/matrix.h` (the
 `CoeffPos` col-major sparse types) and `sparsemexp.{h,cc}` (sparse
 multi-exponentiation that skips zeros and plain-adds ones).
 
-TPU shape: a sparse vector is (values [nnz, L], positions [nnz]) with a
+TPU shape: a sparse vector is (values [L, nnz], positions [nnz]) with a
 STATIC nnz (pad with zero values — padding entries contribute the
 identity, so correctness is automatic). The zero/one special-casing of
 `sparsemexpS` (`sparsemexp.h:12-59`) becomes select masks: ones bypass
@@ -30,20 +30,21 @@ FR = bn254.FR
 class SparseVec(NamedTuple):
     """`CoeffPos<T>` list (`matrix.h:35-47`), structure-of-arrays."""
 
-    values: Any     # [nnz, L] canonical Fr limbs (or point batch)
+    values: Any     # [L, nnz] canonical Fr limbs (or point batch)
     positions: Any  # [nnz] int32
 
 
 def from_dense_scalars(v_can, nnz: int | None = None) -> SparseVec:
-    """Host-side: compress a canonical [n, L] scalar vector."""
+    """Host-side: compress a canonical [L, n] scalar vector."""
     v = np.asarray(v_can)
-    mask = ~(v == 0).all(axis=-1)
+    mask = ~(v == 0).all(axis=-2)
     pos = np.nonzero(mask)[0]
-    vals = v[pos]
+    vals = v[..., pos]
     if nnz is not None:
         pad = nnz - pos.shape[0]
         assert pad >= 0
-        vals = np.concatenate([vals, np.zeros((pad, v.shape[-1]), v.dtype)])
+        vals = np.concatenate(
+            [vals, np.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
         pos = np.concatenate([pos, np.zeros((pad,), pos.dtype)])
     return SparseVec(jnp.asarray(vals), jnp.asarray(pos.astype(np.int32)))
 
@@ -63,7 +64,7 @@ def sparse_msm_points(C: CurveOps, sv_points: SparseVec, exps_can,
                       c: int | None = None) -> Point:
     """`sparsemexpG` (`sparsemexp.h:62-90`): sparse G1 coefficients,
     dense Fr exponents — gather the exponents at the sparse positions."""
-    e = exps_can[sv_points.positions]
+    e = jnp.take(exps_can, sv_points.positions, axis=-1)
     return msm_mod.msm(C, sv_points.values, e, c=c)
 
 
@@ -71,7 +72,7 @@ def sparse_inner_product(dense_mont, sv: SparseVec):
     """`sparseinnerproduct` (`sparsemexp.cc:26-33`): <dense, sparse>
     over Fr. sv.values here are Montgomery-form."""
     from ..prototools import mle
-    gathered = dense_mont[sv.positions]
+    gathered = jnp.take(dense_mont, sv.positions, axis=-1)
     return mle.field_sum(fl.mont_mul(FR, gathered, sv.values))
 
 
@@ -79,7 +80,7 @@ class SparseMatrix(NamedTuple):
     """Col-major sparse matrix (`matrix.h:49-61`): per-column sparse
     vectors with a shared static per-column nnz bound."""
 
-    values: Any     # [ncols, nnz_max, L]
+    values: Any     # [ncols, L, nnz_max]
     positions: Any  # [ncols, nnz_max] row indices
     nrows: int
 
@@ -87,13 +88,13 @@ class SparseMatrix(NamedTuple):
 def insert_as_col_major(entries, nrows: int, ncols: int,
                         nnz_max: int) -> SparseMatrix:
     """Builder (`matrix.h:53-61`): entries = [(row, col, int value)]."""
-    vals = np.zeros((ncols, nnz_max, FR.nlimbs), dtype=np.uint32)
+    vals = np.zeros((ncols, FR.nlimbs, nnz_max), dtype=np.uint32)
     pos = np.zeros((ncols, nnz_max), dtype=np.int32)
     fill = [0] * ncols
     for r, c_, v in entries:
         k = fill[c_]
         assert k < nnz_max
-        vals[c_, k] = fl.int_to_limbs(v % bn254.R, FR.nlimbs)
+        vals[c_, :, k] = fl.int_to_limbs(v % bn254.R, FR.nlimbs)
         pos[c_, k] = r
         fill[c_] += 1
     return SparseMatrix(jnp.asarray(vals), jnp.asarray(pos), nrows)

@@ -32,24 +32,29 @@ N_ROUNDS = 110
 
 @functools.lru_cache(None)
 def _round_constants():
-    """[L, N_ROUNDS] Montgomery round constants (nothing-up-my-sleeve:
-    fixed-seed uniform draws)."""
+    """[N_ROUNDS, L, 1] Montgomery host constants (nothing-up-my-
+    sleeve: fixed-seed uniform draws)."""
     rng = np.random.default_rng(0xF5)
     vals = [int.from_bytes(rng.bytes(40), "little") % bn254.R
             for _ in range(N_ROUNDS)]
-    return FR.to_mont_ints(vals)
+    return np.stack([FR.to_mont_int(v) for v in vals])
 
 
 def permute(x_mont):
     """110 rounds of x <- (x + c_i)^5 (3 muls per round, batched over
-    the vector axis)."""
-    cs = _round_constants()
-    for i in range(N_ROUNDS):
-        t = fl.add(FR, x_mont, fl._dev_const(cs[:, i : i + 1]))
+    the vector axis). One `lax.scan` body — an unrolled 330-mul chain
+    per absorb made Fiat-Shamir graphs uncompilable on this host."""
+    import jax
+
+    def body(x, c):
+        t = fl.add(FR, x, c)
         t2 = fl.mont_sqr(FR, t)
         t4 = fl.mont_sqr(FR, t2)
-        x_mont = fl.mont_mul(FR, t4, t)
-    return x_mont
+        return fl.mont_mul(FR, t4, t), None
+
+    x_mont = jnp.asarray(x_mont)
+    out, _ = jax.lax.scan(body, x_mont, jnp.asarray(_round_constants()))
+    return out
 
 
 def _tree_digest(v):
@@ -71,7 +76,7 @@ class Transcript:
     """Absorb-then-squeeze sponge. All methods trace under jit."""
 
     def __init__(self, label: int = 0):
-        self.state = fl._dev_const(FR.to_mont_int(label % bn254.R))
+        self.state = fl.const_mont(FR, label % bn254.R)
 
     def absorb_fr(self, v_mont) -> None:
         """Absorb a batch of Fr elements [..., L, m] (any leading dims)."""

@@ -29,26 +29,26 @@ def dump_into_file(path: str, v_mont) -> None:
     the count, then one decimal integer per line (canonical values)."""
     vals = np.asarray(fl.from_mont(FR, v_mont))
     with open(path, "w") as fh:
-        fh.write(f"{vals.shape[0]}\n")
-        for i in range(vals.shape[0]):
-            fh.write(f"{fl.limbs_to_int(vals[i])}\n")
+        fh.write(f"{vals.shape[-1]}\n")
+        for i in range(vals.shape[-1]):
+            fh.write(f"{fl.limbs_to_int(vals[..., :, i])}\n")
 
 
 def load_from_file(path: str):
-    """`util.h:78-96` inverse of dump_into_file -> Montgomery [n, L]."""
+    """`util.h:78-96` inverse of dump_into_file -> Montgomery [L, n]."""
     with open(path) as fh:
         n = int(fh.readline())
         vals = [int(fh.readline()) for _ in range(n)]
-    return jnp.asarray(np.stack([FR.to_mont_int(v) for v in vals]))
+    return jnp.asarray(FR.to_mont_ints(vals))
 
 
 def populate_from_file_dist(path: str, n: int):
     """Load Fr samples from a file, cycling to fill n entries
     (`util.h:138-164`)."""
     base = load_from_file(path)
-    m = base.shape[0]
+    m = base.shape[-1]
     reps = -(-n // m)
-    return jnp.tile(base, (reps, 1))[:n]
+    return jnp.tile(base, (1, reps))[..., :n]
 
 
 def save_point_batch(path: str, p) -> None:

@@ -26,3 +26,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import legosnark_tpu.config  # noqa: E402,F401  (enables XLA compile cache)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: pairing-heavy round-trips; deselect with -m 'not slow' "
+        "for the fast tier")

@@ -2,7 +2,9 @@
 
 The reference has no tests (SURVEY §4); these are the self-checking
 round-trips its examples imply (`/root/reference/src/examples/*.cc`),
-plus tamper checks the reference never does.
+plus tamper checks the reference never does. Fiat-Shamir round-trips
+live in test_transcript_fs.py; the `slow` marker guards the most
+pairing-heavy variants (deselect with `-m "not slow"`).
 """
 import numpy as np
 import jax
@@ -29,7 +31,8 @@ def rand_ints(n):
 
 
 def to_mont(ints):
-    return jnp.asarray(np.stack([FR.to_mont_int(x) for x in ints]))
+    """[L, n] Montgomery."""
+    return jnp.asarray(FR.to_mont_ints(ints))
 
 
 def mk_sigma_rand(d):
@@ -37,7 +40,7 @@ def mk_sigma_rand(d):
         "eq_k": to_mont(rand_ints(d)),
         "eq_e": to_mont(rand_ints(d)),
         "prd_b": to_mont(rand_ints(5)),
-        "prd_e": to_mont(rand_ints(1))[0],
+        "prd_e": to_mont(rand_ints(1)),
     }
 
 
@@ -46,16 +49,16 @@ def test_sigma_protocols():
     g = g1_generator()
     h = G1.double(G1.double(g))  # some independent-looking base
 
-    v, r0, r1, k, e = (to_mont(rand_ints(1))[0] for _ in range(5))
+    v, r0, r1, k, e = (to_mont(rand_ints(1)) for _ in range(5))
     c0 = sigma.pedersen(g, h, v, r0)
     c1 = sigma.pedersen(g, h, v, r1)
     pf = jax.jit(sigma.zkeq_prove)(g, h, r0, r1, k, e)
-    assert bool(jax.jit(sigma.zkeq_verify)(h, c0, c1, pf, e))
+    assert bool(np.all(jax.jit(sigma.zkeq_verify)(h, c0, c1, pf, e)))
     # different committed values must fail
-    c_bad = sigma.pedersen(g, h, to_mont(rand_ints(1))[0], r1)
-    assert not bool(jax.jit(sigma.zkeq_verify)(h, c0, c_bad, pf, e))
+    c_bad = sigma.pedersen(g, h, to_mont(rand_ints(1)), r1)
+    assert not bool(np.all(jax.jit(sigma.zkeq_verify)(h, c0, c_bad, pf, e)))
 
-    x, rx, y, ry, rz = (to_mont(rand_ints(1))[0] for _ in range(5))
+    x, rx, y, ry, rz = (to_mont(rand_ints(1)) for _ in range(5))
     bs = to_mont(rand_ints(5))
     from legosnark_tpu.curve.group import FR_OPS
     z = FR_OPS.mul(x, y)
@@ -63,9 +66,10 @@ def test_sigma_protocols():
     cy = sigma.pedersen(g, h, y, ry)
     cz = sigma.pedersen(g, h, z, rz)
     pf = jax.jit(sigma.zkprd_prove)(g, h, x, rx, y, ry, rz, bs, e)
-    assert bool(jax.jit(sigma.zkprd_verify)(g, h, cx, cy, cz, pf, e))
+    assert bool(np.all(jax.jit(sigma.zkprd_verify)(g, h, cx, cy, cz, pf, e)))
     cz_bad = sigma.pedersen(g, h, x, rz)
-    assert not bool(jax.jit(sigma.zkprd_verify)(g, h, cx, cy, cz_bad, pf, e))
+    assert not bool(np.all(
+        jax.jit(sigma.zkprd_verify)(g, h, cx, cy, cz_bad, pf, e)))
 
 
 def test_cppoly_roundtrip():
@@ -74,17 +78,18 @@ def test_cppoly_roundtrip():
     v = to_mont(rand_ints(1 << d))
     r = to_mont(rand_ints(d))
 
+    # jax.jit directly over PolyKey args: d is static (tuple length)
     cm = jax.jit(cppoly.commit)(key, v)
     ans, ans_c = jax.jit(cppoly.compute_answer)(key, v, r)
     pf = jax.jit(cppoly.prove)(key, v, r)
 
-    assert bool(jax.jit(cppoly.check_commit)(key, cm))
-    assert bool(jax.jit(cppoly.verify)(key, cm, ans_c, r, pf))
+    assert bool(np.all(jax.jit(cppoly.check_commit)(key, cm)))
+    assert bool(np.all(jax.jit(cppoly.verify)(key, cm, ans_c, r, pf)))
 
     # tampered answer must fail
     bad = G1.scalar_mul(
-        key.g1, fl.from_mont(FR, to_mont(rand_ints(1))[0]))
-    assert not bool(jax.jit(cppoly.verify)(key, cm, bad, r, pf))
+        key.g1, fl.from_mont(FR, to_mont(rand_ints(1))))
+    assert not bool(np.all(jax.jit(cppoly.verify)(key, cm, bad, r, pf)))
 
 
 def test_cphad_roundtrip():
@@ -104,7 +109,7 @@ def test_cphad_roundtrip():
     sr = mk_sigma_rand(d)
 
     pf = cphad.prove(key, am, bm, cm_v, rho, chal, sr)
-    assert bool(cphad.verify(key, a_cm, b_cm, c_cm, pf, sr))
+    assert bool(np.all(cphad.verify(key, a_cm, b_cm, c_cm, pf, sr)))
 
     # wrong hadamard product must fail
     c_bad = list(c)
@@ -114,20 +119,23 @@ def test_cphad_roundtrip():
     pf_bad = cphad.prove(key, am, bm, cbm, rho, chal, sr)
     # proof of the tampered c against commitments of a, b, c_bad:
     # sumcheck root (c~(rho)) no longer equals sum eq*a*b -> some check fails
-    assert not bool(cphad.verify(key, a_cm, b_cm, cb_cm, pf_bad, sr))
+    assert not bool(np.all(cphad.verify(key, a_cm, b_cm, cb_cm, pf_bad, sr)))
+
+
+def _mk_matrices(n):
+    A = [rand_ints(n) for _ in range(n)]
+    B = [rand_ints(n) for _ in range(n)]
+    C = [[sum(A[i][k] * B[k][j] for k in range(n)) % R for j in range(n)]
+         for i in range(n)]
+    stack = lambda M: jnp.asarray(
+        np.stack([FR.to_mont_ints(row) for row in M]))
+    return stack(A), stack(B), stack(C), C
 
 
 def test_cpmat_in_clear_roundtrip():
     n, d = 4, 2
     key = cpmat.keygen(n, seed=3)
-    A = [rand_ints(n) for _ in range(n)]
-    B = [rand_ints(n) for _ in range(n)]
-    C = [[sum(A[i][k] * B[k][j] for k in range(n)) % R for j in range(n)]
-         for i in range(n)]
-
-    Am = jnp.stack([to_mont(row) for row in A])
-    Bm = jnp.stack([to_mont(row) for row in B])
-    Cm = jnp.stack([to_mont(row) for row in C])
+    Am, Bm, Cm, C = _mk_matrices(n)
 
     a_cm = jax.jit(cpmat.commit_matrix)(key, Am)
     b_cm = jax.jit(cpmat.commit_matrix)(key, Bm)
@@ -135,29 +143,27 @@ def test_cpmat_in_clear_roundtrip():
     r = to_mont(rand_ints(d))
     s = to_mont(rand_ints(d))
     chal = to_mont(rand_ints(d))
-    sr = mk_sigma_rand(d)
+    nonces = {"eq_k": to_mont(rand_ints(d)), "prd_b": to_mont(rand_ints(5))}
+    hv = {"eq_e": to_mont(rand_ints(d)), "prd_e": to_mont(rand_ints(1))}
 
-    pf = cpmat.prove_output_in_clear(key, Am, Bm, Cm, r, s, chal, sr)
-    assert bool(cpmat.verify_output_in_clear(key, a_cm, b_cm, Cm, pf, sr))
+    pf = cpmat.prove_output_in_clear(key, Am, Bm, Cm, r, s, nonces,
+                                     challenges=chal, hv_rand=hv)
+    assert bool(np.all(cpmat.verify_output_in_clear(
+        key, a_cm, b_cm, Cm, pf, hv_rand=hv)))
 
     # wrong product matrix must fail
     C_bad = [row[:] for row in C]
     C_bad[0][0] = (C_bad[0][0] + 1) % R
-    Cbm = jnp.stack([to_mont(row) for row in C_bad])
-    assert not bool(
-        cpmat.verify_output_in_clear(key, a_cm, b_cm, Cbm, pf, sr))
+    Cbm = jnp.asarray(np.stack([FR.to_mont_ints(row) for row in C_bad]))
+    assert not bool(np.all(cpmat.verify_output_in_clear(
+        key, a_cm, b_cm, Cbm, pf, hv_rand=hv)))
 
 
+@pytest.mark.slow
 def test_cpmat_committed_roundtrip():
     n, d = 4, 2
     key = cpmat.keygen(n, seed=4)
-    A = [rand_ints(n) for _ in range(n)]
-    B = [rand_ints(n) for _ in range(n)]
-    C = [[sum(A[i][k] * B[k][j] for k in range(n)) % R for j in range(n)]
-         for i in range(n)]
-    Am = jnp.stack([to_mont(row) for row in A])
-    Bm = jnp.stack([to_mont(row) for row in B])
-    Cm = jnp.stack([to_mont(row) for row in C])
+    Am, Bm, Cm, _ = _mk_matrices(n)
 
     a_cm = jax.jit(cpmat.commit_matrix)(key, Am)
     b_cm = jax.jit(cpmat.commit_matrix)(key, Bm)
@@ -166,7 +172,10 @@ def test_cpmat_committed_roundtrip():
     r = to_mont(rand_ints(d))
     s = to_mont(rand_ints(d))
     chal = to_mont(rand_ints(d))
-    sr = mk_sigma_rand(d)
+    nonces = {"eq_k": to_mont(rand_ints(d)), "prd_b": to_mont(rand_ints(5))}
+    hv = {"eq_e": to_mont(rand_ints(d)), "prd_e": to_mont(rand_ints(1))}
 
-    pf = cpmat.prove(key, Am, Bm, Cm, r, s, chal, sr)
-    assert bool(cpmat.verify(key, a_cm, b_cm, c_cm, pf, sr))
+    pf = cpmat.prove(key, Am, Bm, Cm, r, s, nonces, challenges=chal,
+                     hv_rand=hv)
+    assert bool(np.all(cpmat.verify(key, a_cm, b_cm, c_cm, pf,
+                                    hv_rand=hv)))

@@ -14,7 +14,7 @@ from legosnark_tpu.curve.group import G1, g1_generator, Point
 from legosnark_tpu.curve import msm as msm_mod
 from legosnark_tpu.fields import limb as fl
 from legosnark_tpu.parallel import sharded
-from legosnark_tpu.prototools import mle
+from legosnark_tpu.prototools import mle, ntt as ntt_mod
 
 FR = bn254.FR
 
@@ -25,17 +25,19 @@ def mesh():
 
 
 def _rand_scalars(rng, n):
-    return jnp.asarray(np.stack([
-        fl.int_to_limbs(int(x) % bn254.R, FR.nlimbs)
-        for x in rng.integers(0, 1 << 62, size=n)]))
+    return jnp.asarray(fl.ints_to_limbs(
+        [int(x) % bn254.R for x in rng.integers(0, 1 << 62, size=n)],
+        FR.nlimbs))
+
+
+def _rand_mont(rng, n):
+    return jnp.asarray(FR.to_mont_ints(
+        [int(x) for x in rng.integers(0, 1 << 60, size=n)]))
 
 
 def _gen_points(n):
     base = g1_generator()
-    return Point(
-        jnp.broadcast_to(base.x, (n,) + base.x.shape),
-        jnp.broadcast_to(base.y, (n,) + base.y.shape),
-        jnp.broadcast_to(base.z, (n,) + base.z.shape))
+    return Point(*(jnp.broadcast_to(x, x.shape[:-1] + (n,)) for x in base))
 
 
 def test_msm_sharded_matches_unsharded(mesh):
@@ -46,7 +48,7 @@ def test_msm_sharded_matches_unsharded(mesh):
     ref = msm_mod.msm(G1, points, scalars, c=4)
     out = sharded.msm_sharded(G1, points, scalars, mesh, c=4)
     assert isinstance(out, Point)
-    assert bool(np.asarray(G1.eq(out, ref)))
+    assert bool(np.all(np.asarray(G1.eq(out, ref))))
 
 
 def test_msm_sharded_under_jit(mesh):
@@ -63,40 +65,57 @@ def test_msm_sharded_under_jit(mesh):
 
     out = Point(*step(points.x, points.y, points.z, scalars))
     ref = msm_mod.msm(G1, points, scalars, c=4)
-    assert bool(np.asarray(G1.eq(out, ref)))
+    assert bool(np.all(np.asarray(G1.eq(out, ref))))
 
 
 def test_field_sum_sharded(mesh):
     rng = np.random.default_rng(9)
     vals = [int(x) for x in rng.integers(0, 1 << 60, size=64)]
-    v = jnp.asarray(np.stack([FR.to_mont_int(x) for x in vals]))
-    out = sharded.field_sum_sharded(v, mesh)
+    v = jnp.asarray(FR.to_mont_ints(vals))
+    sv = sharded.shard_table(v, 8)
+    out = sharded.field_sum_sharded(sv, mesh)
     expect = sum(vals) % FR.p
-    assert FR.from_mont_limbs(np.asarray(out)) == expect
+    assert FR.from_mont_limbs(np.asarray(out)[..., 0]) == expect
 
 
 def test_fold_sharded(mesh):
     rng = np.random.default_rng(10)
-    vals = [int(x) for x in rng.integers(0, 1 << 60, size=64)]
-    v = jnp.asarray(np.stack([FR.to_mont_int(x) for x in vals]))
-    r_int = 12345
-    r = jnp.asarray(FR.to_mont_int(r_int))
-    out = sharded.fold_sharded(v, r, mesh)
+    v = _rand_mont(rng, 64)
+    r = jnp.asarray(FR.to_mont_int(12345))
+    sv = sharded.shard_table(v, 8)
+    out = sharded.unshard_table(sharded.fold_sharded(sv, r, mesh))
     ref = mle.fold(v, r)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_shard_table_roundtrip():
+    rng = np.random.default_rng(12)
+    v = _rand_mont(rng, 32)
+    assert np.array_equal(
+        np.asarray(sharded.unshard_table(sharded.shard_table(v, 8))),
+        np.asarray(v))
 
 
 def test_sumcheck_rounds_sharded_matches_local(mesh):
     rng = np.random.default_rng(11)
     d, k = 5, 2
-    tables = jnp.asarray(np.stack([
-        np.stack([FR.to_mont_int(int(x))
-                  for x in rng.integers(0, 1 << 60, size=1 << d)])
-        for _ in range(k)]))
-    chal = jnp.asarray(np.stack(
-        [FR.to_mont_int(int(x)) for x in rng.integers(1, 1 << 60, size=d)]))
-    ref = mle.prove_rounds(tables, chal)
+    tables = jnp.stack([_rand_mont(rng, 1 << d) for _ in range(k)])
+    chal = _rand_mont(rng, d)
+    ref = jax.jit(mle.prove_rounds)(tables, chal)
     out = sharded.sumcheck_rounds_sharded(tables, chal, mesh)
     assert np.array_equal(np.asarray(out.h_coeffs), np.asarray(ref.h_coeffs))
     assert np.array_equal(np.asarray(out.zs), np.asarray(ref.zs))
     assert np.array_equal(np.asarray(out.finals), np.asarray(ref.finals))
+
+
+def test_ntt_sharded_matches_local(mesh):
+    rng = np.random.default_rng(13)
+    v = _rand_mont(rng, 1 << 8)
+    want = jax.jit(ntt_mod.ntt)(v)
+    got = sharded.ntt_sharded(v, mesh)
+    assert np.array_equal(np.asarray(fl.canon(FR, want)),
+                          np.asarray(fl.canon(FR, got)))
+    # inverse round-trips
+    back = sharded.ntt_sharded(got, mesh, inverse=True)
+    assert np.array_equal(np.asarray(fl.canon(FR, back)),
+                          np.asarray(fl.canon(FR, v)))
