@@ -79,7 +79,7 @@ def main():
     if quick:
         configs = [(8, 6, 2)]
     else:
-        configs = [(18, 13, 3), (20, 13, 3)]
+        configs = [(18, 16, 3), (20, 16, 3)]
 
     results = {}
     for log_n, c, reps in configs:

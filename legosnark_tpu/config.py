@@ -32,9 +32,12 @@ def setup_cache(path: str | None = None) -> None:
 setup_cache()
 
 # Default Pippenger window size (bits) by MSM size; tuned on TPU v5e.
+# Large sizes use c=16 (16 windows for 254-bit scalars): the 2^16
+# bucket-boundary gather+tree costs ~n/16 adds per window at 2^20,
+# well under the 20% scan/sort work saved vs c=13.
 def default_window(n: int) -> int:
     if n <= (1 << 10):
         return 8
     if n <= (1 << 16):
         return 10
-    return 13
+    return 16

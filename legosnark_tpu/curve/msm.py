@@ -53,10 +53,12 @@ def _num_windows(bits: int, c: int) -> int:
 
 def _all_digits(spec: fl.FieldSpec, scalars, c: int):
     """[W, n] uint32 digit matrix from canonical scalars [L, n]."""
-    bits = fl.LIMB_BITS * spec.nlimbs
-    W = _num_windows(bits, c)
     if c == fl.LIMB_BITS:
         return scalars  # one limb per window: rows ARE the digits
+    # canonical scalars are < 2^spec.bits, so windows beyond the field
+    # bit-length are identically zero — skip them (c=16 -> 16 windows
+    # for a 254-bit field, not ceil(260/16))
+    W = _num_windows(spec.bits, c)
     cols = [fl.get_window(spec, scalars, j * c, c) for j in range(W)]
     return jnp.stack(cols, axis=0)
 
@@ -65,21 +67,50 @@ def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
 
     Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
-    (sum of points with digit >= t). Every phase runs at FULL vector
-    width with log depth: suffix sums via `associative_scan` of the
-    complete group law (2n adds of work, 2*log2(n) sequential levels),
-    bucket reduction via a c-level pairwise tree.
+    (sum of points with digit >= t). Suffix sums are TWO-LEVEL: the
+    sorted batch splits into J chunks of K lanes, all chunk-local
+    suffix scans run BATCHED in one `associative_scan` (leading J axis
+    keeps every level's launch J*width wide), and the cross-chunk
+    carry is added only at the 2^c-1 bucket-boundary gathers instead
+    of across all n lanes. Total group-add work: 2n (local scans)
+    + 2J (chunk-total scan) + 2^c (boundary carries), vs 3n for the
+    sequential carry-chain formulation this replaces. Bucket reduction
+    is a c-level pairwise tree.
     """
     n = d.shape[0]
     order = jnp.argsort(d)
     d_sorted = d[order]
     ps = point_index(points, order)
-    suf = _suffix_scan(C, ps)
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
     safe = jnp.minimum(idx, n - 1)
-    q = point_index(suf, safe)
+
+    K = _SUF_CHUNK
+    if n <= K or n % K:
+        suf = _suffix_scan(C, ps)
+        q = point_index(suf, safe)
+    else:
+        J = n // K
+        blocks = point_map(
+            lambda x: jnp.moveaxis(
+                x.reshape(x.shape[:-1] + (J, K)), -2, 0), ps)  # [J,..,L,K]
+        loc = jax.lax.associative_scan(
+            C.add, blocks, reverse=True, axis=blocks.x.ndim - 1)
+        # exclusive suffix of the J chunk totals: [.., L, J]
+        tot = point_map(lambda x: jnp.moveaxis(x[..., 0], 0, -1), loc)
+        stot = jax.lax.associative_scan(
+            C.add, tot, reverse=True, axis=tot.x.ndim - 1)
+        tex = point_map(
+            lambda s, i: jnp.concatenate([s[..., 1:], i], axis=-1),
+            stot, C.identity((1,)))
+        # global suffix[jK+k] = loc[j, k] + tex[j]; only gathered points
+        # pay the carry add
+        flat = point_map(
+            lambda x: jnp.moveaxis(x, 0, -2).reshape(
+                x.shape[1:-1] + (n,)), loc)
+        q = C.add(point_index(flat, safe), point_index(tex, safe // K))
+
     q = C.select(idx < n, q, C.identity((ts.shape[0],)))
     return C.sum_reduce(q)
 
@@ -88,42 +119,10 @@ _SUF_CHUNK = 1 << 13
 
 
 def _suffix_scan(C: CurveOps, ps: Point) -> Point:
-    """Inclusive SUFFIX sums of a point batch along the vector axis.
-
-    Large batches run as a `lax.scan` over fixed-width chunks (local
-    associative_scan + carried total): the compiled body is one chunk
-    wide regardless of n, which keeps the XLA/Mosaic compile time of
-    the 2^18..2^20 windows bounded (a full-width associative_scan
-    unrolls log2(n) distinct-width levels and took the tunneled
-    compiler >10 minutes at 2^18)."""
-    n = ps.x.shape[-1]
-    nd = ps.x.ndim
-
-    def local_suffix(block: Point) -> Point:
-        rev = point_map(lambda x: jnp.flip(x, -1), block)
-        acc = jax.lax.associative_scan(C.add, rev, axis=nd - 1)
-        return point_map(lambda x: jnp.flip(x, -1), acc)
-
-    K = _SUF_CHUNK
-    if n <= K or n % K:
-        return local_suffix(ps)
-
-    J = n // K
-    blocks = point_map(
-        lambda x: jnp.moveaxis(
-            x.reshape(x.shape[:-1] + (J, K)), -2, 0), ps)  # [J, .., L, K]
-
-    def body(carry, blk):
-        loc = local_suffix(Point(*blk))
-        out = C.add(loc, carry)          # carry broadcasts over lanes
-        new_carry = point_map(lambda x: x[..., :1], out)
-        return new_carry, tuple(out)
-
-    _, outs = jax.lax.scan(body, C.identity(()), tuple(blocks),
-                           reverse=True)
-    return point_map(
-        lambda x: jnp.moveaxis(x, 0, -2).reshape(
-            x.shape[1:-1] + (n,)), Point(*outs))
+    """Inclusive suffix sums of a point batch along the vector axis
+    (single-level; used for batches at most `_SUF_CHUNK` wide)."""
+    return jax.lax.associative_scan(
+        C.add, ps, reverse=True, axis=ps.x.ndim - 1)
 
 
 def _window_chunk(n: int, W: int) -> int:
@@ -155,7 +154,7 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
         import os
         env = os.environ.get("LEGOSNARK_MSM_C")
         c = int(env) if env else config.default_window(scalars.shape[-1])
-    assert 1 <= c <= fl.LIMB_BITS
+    assert 1 <= c <= 32 - fl.LIMB_BITS  # get_window shift bound
     n = scalars.shape[-1]
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
     W = digits.shape[0]

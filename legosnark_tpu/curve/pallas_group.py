@@ -29,7 +29,7 @@ from . import bn254
 LIMB_BITS = fl.LIMB_BITS
 LIMB_MASK = fl.LIMB_MASK
 
-_TILE = int(os.environ.get("LEGOSNARK_PALLAS_TILE", "1024"))
+_TILE = int(os.environ.get("LEGOSNARK_PALLAS_TILE", "512"))
 _MIN_V = 2
 
 

@@ -560,17 +560,19 @@ def batch_inv_scan(spec: FieldSpec, a):
 
 def get_window(spec: FieldSpec, x, start_bit: int, width: int):
     """Extract bits [start_bit, start_bit+width) of canonical limbs as
-    uint32 [..., V]. width <= 13 (a window spans at most 2 limbs)."""
-    assert width <= LIMB_BITS
+    uint32 [..., V]. width <= 19 (so every limb shift stays < 32 bits);
+    a window may span up to three limbs."""
+    assert width <= 32 - LIMB_BITS
     L = spec.nlimbs
+    out = None
     limb = start_bit // LIMB_BITS
-    off = start_bit % LIMB_BITS
-    lo = x[..., limb, :] >> off
-    if limb + 1 < L and off:
-        hi = x[..., limb + 1, :] << (LIMB_BITS - off)
-    else:
-        hi = jnp.zeros_like(lo)
-    return (lo | hi) & ((1 << width) - 1)
+    while limb < L and limb * LIMB_BITS < start_bit + width:
+        shift = limb * LIMB_BITS - start_bit
+        part = (x[..., limb, :] >> (-shift) if shift < 0
+                else x[..., limb, :] << shift)
+        out = part if out is None else (out | part)
+        limb += 1
+    return out & ((1 << width) - 1)
 
 
 def num_windows(spec: FieldSpec, width: int) -> int:
