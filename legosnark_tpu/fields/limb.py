@@ -564,6 +564,8 @@ def get_window(spec: FieldSpec, x, start_bit: int, width: int):
     a window may span up to three limbs."""
     assert width <= 32 - LIMB_BITS
     L = spec.nlimbs
+    assert start_bit < L * LIMB_BITS, (
+        f"window start {start_bit} beyond {L * LIMB_BITS}-bit scalars")
     out = None
     limb = start_bit // LIMB_BITS
     while limb < L and limb * LIMB_BITS < start_bit + width:

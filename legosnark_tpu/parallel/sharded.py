@@ -216,15 +216,16 @@ def ntt_sharded(a, mesh: Mesh, axis: str = "data", inverse: bool = False):
     n1 = ndev * (rows per chip would be n1/ndev — here n1 = ndev for
     one transpose round; n2 = n/ndev):
 
-      view x as [n1, n2] row-major (rows contiguously sharded);
-      1. local size-n2 NTT per row;
+      view x decimated as A[j1][j2] = x[j1 + n1*j2] (j1 = low bits;
+      row j1 sharded to device j1);
+      1. local size-n2 NTT per row (root w^n1):   Y[j1][k2];
       2. scale by twiddles w^(j1*k2);
-      3. all-to-all transpose -> [n2, n1] (k2-major, sharded on k2);
-      4. local size-n1 NTT per column chunk;
-      output element k = k1 + n1*k2 at transposed position [k2, k1] —
-      returned through the inverse index map so callers see natural
-      order. Inverse mode runs the same pipeline with w^-1 and the 1/n
-      scale folded into step 4.
+      3. all-to-all transpose (k2 chunks across devices, all j1 local);
+      4. local size-n1 NTT over j1 (root w^n2):   X[k2 + n2*k1] at
+         position [k2, k1] — which reassembles host-side to natural
+         order with no extra permutation.
+      Inverse mode runs the same pipeline with w^-1 and the 1/n scale
+      folded into step 4.
     """
     n = a.shape[-1]
     ndev = mesh.shape[axis]
@@ -248,8 +249,11 @@ def ntt_sharded(a, mesh: Mesh, axis: str = "data", inverse: bool = False):
                        j1, axis=-1)[..., None]     # [L, 1]
         tw = _geom_powers(wj1, n2)                 # [L, n2]
         y = fl.mont_mul(FR, y, tw)
-        # step 3: all-to-all transpose: split k2 across devices, gather j1
-        y = jax.lax.all_to_all(y[None], axis, split_axis=y.ndim,
+        # step 3: all-to-all transpose: split k2 into ndev contiguous
+        # chunks (chunk s -> device s; split axis must have size == ndev
+        # for untiled all_to_all), gathering every j1 row
+        y = y.reshape(y.shape[:-1] + (ndev, n2 // ndev))
+        y = jax.lax.all_to_all(y, axis, split_axis=y.ndim - 2,
                                concat_axis=0, tiled=False)
         # y: [n1, L, n2/ndev] — this chip now holds all j1 for its k2 chunk
         y = jnp.moveaxis(y, 0, -1)                 # [L, n2/ndev, n1]
@@ -267,29 +271,16 @@ def ntt_sharded(a, mesh: Mesh, axis: str = "data", inverse: bool = False):
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis),
                    out_specs=P(axis), check_vma=False)
-    rows = a.reshape(a.shape[:-1] + (n1, n2))
-    rows = jnp.moveaxis(rows, -2, 0)               # [n1, L, n2]
-    out = jax.jit(fn)(rows)                        # [n1(k2 chunks), L, n2/ndev * n1]
-    # undo the output permutation: out[s] holds k2 in chunk s, laid out
-    # [k2_local, k1]; global k = k1 + n1*k2
+    rows = a.reshape(a.shape[:-1] + (n2, n1))      # [..., j2, j1]
+    rows = jnp.moveaxis(rows, -1, 0)               # [n1(j1), ..., n2(j2)]
+    out = jax.jit(fn)(rows)                        # [ndev(k2 chunks), L, n2/ndev * n1]
+    # out[s] holds k2 chunk s laid out [k2_local, k1]; element [k2, k1]
+    # = X[k2 + n2*k1], so k1-major reassembly IS natural order
     out = out.reshape((ndev,) + a.shape[:-1] + (n2 // ndev, n1))
     out = jnp.moveaxis(out, 0, -3)                 # [..., ndev, k2_loc, n1]
-    out = out.reshape(a.shape[:-1] + (n2, n1))
-    out = jnp.swapaxes(out, -1, -2)                # [..., n1(k1), n2(k2)] -> k = k1 + n1*k2?
-    # element [k1, k2] = X[k1 + n1*k2]: natural order is k2-major flatten
-    out = out.reshape(a.shape[:-1] + (n,))
-    # out[k1*n2 + k2] currently = X[k1 + n1*k2]; remap to natural order
-    perm = _fourstep_perm(n1, n2)
-    return jnp.take(out, perm, axis=-1)
-
-
-@functools.lru_cache(None)
-def _fourstep_perm(n1: int, n2: int):
-    import numpy as np
-    # position p = k1*n2 + k2 holds X[k1 + n1*k2]; we want q -> position
-    # holding X[q]: q = k1 + n1*k2 => k1 = q % n1, k2 = q // n1
-    q = np.arange(n1 * n2)
-    return jnp.asarray(((q % n1) * n2 + q // n1).astype("int32"))
+    out = out.reshape(a.shape[:-1] + (n2, n1))     # [..., k2, k1]
+    out = jnp.swapaxes(out, -1, -2)                # [..., k1, k2]
+    return out.reshape(a.shape[:-1] + (n,))        # k = k2 + n2*k1
 
 
 def _geom_powers(base, m: int):
