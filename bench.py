@@ -59,8 +59,13 @@ def run_msm(log_n: int, c: int, reps: int):
 
     fn = jax.jit(lambda p, s: msm_mod.msm(G1, p, s, c=c))
     t0 = time.perf_counter()
-    out = fn(points, scalars)
-    jax.block_until_ready(out)  # compile + warmup
+    # DOUBLE warmup with forced host sync: on the tunneled TPU platform
+    # block_until_ready spuriously returns early on the first
+    # post-compile execution, which would let the timing loop overlap
+    # it and report nonsense throughputs
+    for _ in range(2):
+        out = fn(points, scalars)
+        np.asarray(out.x)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()

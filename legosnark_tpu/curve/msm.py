@@ -33,6 +33,7 @@ field ops).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,59 +64,93 @@ def _all_digits(spec: fl.FieldSpec, scalars, c: int):
     return jnp.stack(cols, axis=0)
 
 
-def _window_sum(C: CurveOps, points: Point, d, c: int) -> Point:
+def _pack16(a):
+    """Pack limb pairs (k, k+L/2) into one u32 word: [..., L, V] ->
+    [..., L/2, V]. Loose limbs are < 2^16, and the halves are
+    CONTIGUOUS sublane slices (free), unlike even/odd interleaving.
+    Halves the row count every per-window gather has to move."""
+    L = a.shape[-2]
+    h = (L + 1) // 2
+    if L % 2:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 0)])
+    return a[..., :h, :] | (a[..., h:, :] << 16)
+
+
+def _unpack16(v, L: int):
+    """Inverse of `_pack16`."""
+    lo = v & jnp.uint32(0xFFFF)
+    hi = v >> 16
+    return jnp.concatenate([lo, hi], axis=-2)[..., :L, :]
+
+
+def _window_sum(C: CurveOps, points: Point, d, c: int,
+                packed: Point | None = None) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
 
     Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
-    (sum of points with digit >= t). Suffix sums are TWO-LEVEL: the
-    sorted batch splits into J chunks of K lanes, all chunk-local
-    suffix scans run BATCHED in one `associative_scan` (leading J axis
-    keeps every level's launch J*width wide), and the cross-chunk
-    carry is added only at the 2^c-1 bucket-boundary gathers instead
-    of across all n lanes. Total group-add work: 2n (local scans)
-    + 2J (chunk-total scan) + 2^c (boundary carries), vs 3n for the
-    sequential carry-chain formulation this replaces. Bucket reduction
-    is a c-level pairwise tree.
+    (sum of points with digit >= t). The suffix sums run COLUMN-MAJOR:
+    the sorted batch is laid out [G, .., L, w] with lane column q
+    holding sorted positions q*G + r down the LEADING axis, and the
+    suffix scan runs over axis 0. Every scan level then slices whole
+    [L, w] tiles (major-axis strides, plain DMA) instead of stride-2
+    lane shuffles — on TPU the lane-axis formulation spends several
+    times the group-add cost on element shuffles per level. Cross-
+    column carries (the exclusive lane-suffix of the w column totals)
+    are added only at the 2^c-1 bucket-boundary gathers. Total group
+    adds: 2n (column scans) + 2w (total scan) + 2^c (boundary carries).
+    Bucket reduction is a c-level pairwise tree on contiguous halves.
     """
     n = d.shape[0]
     order = jnp.argsort(d)
     d_sorted = d[order]
-    ps = point_index(points, order)
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
     idx = jnp.searchsorted(d_sorted, ts, side="left")
     safe = jnp.minimum(idx, n - 1)
 
-    K = _SUF_CHUNK
-    if n <= K or n % K:
+    w = _SCAN_LANES
+    if n % w or n // w < 8:
+        # small-n fallback: single lane-axis scan
+        ps = point_index(points, order)
         suf = _suffix_scan(C, ps)
         q = point_index(suf, safe)
     else:
-        J = n // K
-        blocks = point_map(
-            lambda x: jnp.moveaxis(
-                x.reshape(x.shape[:-1] + (J, K)), -2, 0), ps)  # [J,..,L,K]
-        loc = jax.lax.associative_scan(
-            C.add, blocks, reverse=True, axis=blocks.x.ndim - 1)
-        # exclusive suffix of the J chunk totals: [.., L, J]
-        tot = point_map(lambda x: jnp.moveaxis(x[..., 0], 0, -1), loc)
-        stot = jax.lax.associative_scan(
-            C.add, tot, reverse=True, axis=tot.x.ndim - 1)
+        G = n // w
+        L = points.x.shape[-2]
+        if packed is None:
+            packed = point_map(_pack16, points)
+        # gather straight into the column-major layout: fold the
+        # (w, G) -> (G, w) transpose into the sort permutation; gather
+        # PACKED rows (half the elements), unpack after
+        idx2d = jnp.transpose(order.reshape(w, G))          # [G, w]
+        ps = point_map(
+            lambda a: _unpack16(
+                jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0), L),
+            packed)                                         # [G,..,L,w]
+        loc = jax.lax.associative_scan(C.add, ps, reverse=True, axis=0)
+        # column totals -> exclusive lane-suffix (w lanes: small)
+        tot = point_map(lambda x: x[0], loc)                # [.., L, w]
+        stot = _suffix_scan(C, tot)
         tex = point_map(
             lambda s, i: jnp.concatenate([s[..., 1:], i], axis=-1),
             stot, C.identity((1,)))
-        # global suffix[jK+k] = loc[j, k] + tex[j]; only gathered points
-        # pay the carry add
-        flat = point_map(
-            lambda x: jnp.moveaxis(x, 0, -2).reshape(
-                x.shape[1:-1] + (n,)), loc)
-        q = C.add(point_index(flat, safe), point_index(tex, safe // K))
+        # global suffix at sorted position i = loc[i % G, :, i // G]
+        # + tex[i // G]; flatten PACKED loc to [.., L/2, n] with
+        # j = r*w + q and gather only the 2^c-1 boundary columns
+        lflat = point_map(
+            lambda x: jnp.moveaxis(_pack16(x), 0, -2).reshape(
+                x.shape[1:-2] + (-(-L // 2), n)), loc)
+        j_t = (safe % G) * w + safe // G
+        bv = point_map(lambda a: _unpack16(jnp.take(a, j_t, axis=-1), L),
+                       lflat)
+        q = C.add(bv, point_index(tex, safe // G))
 
     q = C.select(idx < n, q, C.identity((ts.shape[0],)))
     return C.sum_reduce(q)
 
 
-_SUF_CHUNK = 1 << 13
+#: lane width of the column-major scan layout (columns per batch)
+_SCAN_LANES = int(os.environ.get("LEGOSNARK_MSM_SCAN_LANES", str(1 << 10)))
 
 
 def _suffix_scan(C: CurveOps, ps: Point) -> Point:
@@ -160,8 +195,12 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     W = digits.shape[0]
 
     # all windows batched (mapped in memory-bounded chunks): the sorts,
-    # scans and bucket trees run n-wide
-    window_fn = functools.partial(_window_sum, C, points, c=c)
+    # scans and bucket trees run n-wide; transport coords are packed
+    # once (two 16-bit limb halves per word) for all windows' gathers
+    use_cm = n % _SCAN_LANES == 0 and n // _SCAN_LANES >= 8
+    packed = point_map(_pack16, points) if use_cm else None
+    window_fn = functools.partial(_window_sum, C, points, c=c,
+                                  packed=packed)
     chunk = _window_chunk(n, W)
     S = jax.lax.map(window_fn, digits,
                     batch_size=None if chunk == 1 else chunk)

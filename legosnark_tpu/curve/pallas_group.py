@@ -7,10 +7,44 @@ compile path — the MSM graph contains ~12x fewer kernel instances,
 which is what makes the 2^18+ windowed-MSM program compile in minutes
 instead of hours.
 
-Field math mirrors fields/limb.py exactly (13-bit limbs on sublanes,
-redundant domain [0, 2p), loose carries between muls, one exact carry
-per mul output). G1 only (Fq base field); G2 stays on the jnp path —
-its call sites are keygen-scale, not the prover hot loop.
+v2: LAZY REDUCTION. The v1 kernel normalized every field op to exact
+13-bit limbs in [0, 2p) — paying a Kogge-Stone carry-resolution ladder
+plus a conditional subtract ~43 times per point-add. With 13-bit limbs
+(L = 20, R = 2^260, R/p ~ 84) none of that is necessary inside one
+group op:
+
+  * Values are tracked as multiples of p. A Montgomery product of
+    a < j*p and b < k*p returns < p*(0.0118*jk + 1.004); the RCB
+    sequences below keep every product jk <= 53 (fixed point of the
+    bound recursion: mm outputs m ~ 1.62p, kernel outputs <= 3.62p),
+    so outputs stay < 2p and the domain is closed WITHOUT conditional
+    subtracts.
+  * Limbs are LOOSE (<= 2^13 + 21 after two magnitude passes): a
+    convolution of two loose operands peaks at 20*(2^13+21)^2 < 2^31,
+    so u32 columns never overflow and the exact-carry ladder is not
+    needed between ops.
+  * Montgomery's division by R with loose limbs: the low L limbs of
+    t + m*p sum to a value that is = 0 (mod R) and < 1.003*R, hence
+    EXACTLY 0 or R — one OR-reduce over the low rows recovers the
+    missing carry into the high half.
+  * fsub needs a canonical (mod R) result because its limb-complement
+    trick adds an artifact of exactly 2R that truncation must remove:
+    fsub_K(a, b) = carry_exact_L(a + D_K + (2^14-1 - b_i)) with
+    D_K = K*p + 2 - S (S = sum 2^13i) makes the total
+    (a - b + K*p) + 2R in [2R, 3R), and an exact carry to L canonical
+    limbs computes the total mod R = a - b + K*p deterministically.
+    K is chosen per call site from the subtrahend's bound.
+
+Kernel output contract: for vector widths > 128 lanes, coordinates are
+loose-limbed with values < 3.62p (consumed only by further kernel ops:
+MSM scans, table builds). Widths <= 128 (every verifier-scale/single
+point: Horner tails, sum_reduce roots) are normalized to exact limbs in
+[0, 2p), the jnp-path contract — so points escaping to limb.py
+arithmetic (pairings, serialization, sub/neg) are always canonical.
+
+Field math layout matches fields/limb.py (13-bit limbs on sublanes).
+G1 only (Fq base field); G2 stays on the jnp path — its call sites are
+keygen-scale, not the prover hot loop.
 """
 from __future__ import annotations
 
@@ -30,7 +64,9 @@ LIMB_BITS = fl.LIMB_BITS
 LIMB_MASK = fl.LIMB_MASK
 
 _TILE = int(os.environ.get("LEGOSNARK_PALLAS_TILE", "512"))
-_MIN_V = 2
+_MIN_V = 1
+#: widths <= this get exact [0, 2p) outputs (the jnp-path contract)
+_NORM_MAX = int(os.environ.get("LEGOSNARK_PALLAS_NORM", "128"))
 
 
 def enabled_for(v: int) -> bool:
@@ -43,9 +79,9 @@ def enabled_for(v: int) -> bool:
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
         on_tpu = False
-    # even width-1 ops go through the kernel on TPU: a padded 128-lane
-    # launch is cheap, while a single jnp-path RCB add adds ~3k HLO ops
-    # to the graph and minutes to tunneled compiles
+    # ALL widths go through the kernel on TPU: narrow launches are
+    # latency-noise, while mixing jnp-path ops into loose-limbed
+    # kernel outputs would violate limb.py's [0, 2p)-exact contract
     return on_tpu and v >= _MIN_V
 
 
@@ -54,19 +90,25 @@ def _shift_up(c):
     return jnp.pad(c[..., :-1, :], pad)
 
 
-def _carry_passes(x, passes: int):
+def _carry_loose(x, passes: int = 2):
+    """Magnitude passes only: limbs land in [0, 2^13 + 21] for columns
+    < 2^31 (NOT canonical; represents the same value mod R^... with
+    top-row carries dropped — callers guarantee the value fits)."""
     for _ in range(passes):
         x = (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS)
     return x
 
 
 def _carry_exact_rows(x, nout: int, passes: int = 2):
+    """Exact canonical limbs of (x mod R') where R' = 2^(13*nout):
+    magnitude passes then one Kogge-Stone carry-resolution (precondition
+    limbs <= 2^14 - 2 after the passes)."""
     k = x.shape[-2]
     if k < nout:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, nout - k), (0, 0)])
     elif k > nout:
         x = x[..., :nout, :]
-    x = _carry_passes(x, passes)
+    x = _carry_loose(x, passes)
     g = x >> LIMB_BITS
     pr = x == LIMB_MASK
     j2 = jax.lax.broadcasted_iota(jnp.uint32, (nout, 1), 0) * 2 + 2
@@ -82,68 +124,66 @@ def _carry_exact_rows(x, nout: int, passes: int = 2):
 
 
 def _mk_field(spec: fl.FieldSpec):
-    """In-kernel field helpers. Only Python-int per-limb constants are
-    closed over (Pallas kernels may not capture array constants); the
-    [L, 1]-shaped constants (R-2p, 2p+1, b3) arrive via a packed
-    `consts` kernel input: rows [0:L] = R-2p, [L:2L] = 2p+1,
-    [2L:3L] = b3 in Montgomery form."""
+    """In-kernel lazy field helpers. Only Python-int per-limb constants
+    are closed over; the [L, 1]-shaped constant rows (R-2p and the
+    fsub offsets D_2/D_4/D_6) arrive via a packed `consts` input."""
     L = spec.nlimbs
     p_host = np.asarray(spec.p_limbs).reshape(L)
     ninv_host = np.asarray(spec.ninv_limbs).reshape(L)
 
-    def cond_sub_2p(x, r2p):
-        # x + (R - 2p) mod R, keep iff it carried out (x >= 2p)
-        s = x + r2p
-        s = _carry_exact_rows(s, L + 1, passes=1)
-        red, cout = s[:L, :], s[L, :]
-        return jnp.where((cout > 0)[None, :], red, x)
+    def fadd(a, b):
+        # loose + loose: columns <= 2^14+42; one pass -> limbs <= 2^13+3
+        return _carry_loose(a + b, passes=1)
 
-    def mk_fadd(r2p):
-        def fadd(a, b):
-            s = _carry_exact_rows(a + b, L, passes=1)
-            return cond_sub_2p(s, r2p)
-        return fadd
-
-    def mk_fsub(r2p, p2p1):
+    def mk_fsub(dk):
         def fsub(a, b):
-            # a + (2p + 1) + (MASK - b) == a + 2p - b (mod R)
-            cols = a + p2p1 + (LIMB_MASK - b)
-            r = _carry_exact_rows(cols, L, passes=1)
-            return cond_sub_2p(r, r2p)
+            # a - b + K*p via the complement against 2^14-1 (safe for
+            # loose b up to 2^13+21); the 2R artifact is removed by the
+            # exact mod-R carry — see module docstring
+            cols = a + dk + ((1 << (LIMB_BITS + 1)) - 1 - b)
+            return _carry_exact_rows(cols, L, passes=1)
         return fsub
 
-    def _mm_reduce(t, t_scr, u_scr):
-        """Montgomery reduction of loose full product columns t [2L, T]."""
+    def _mm_reduce(t, u_scr):
+        """Montgomery reduction of loose product columns t [2L, T]:
+        returns loose high limbs of (t + m*p)/R including the low-half
+        carry (low rows sum to exactly 0 or R)."""
         t_lo = t[:L, :]
-        # m = (t mod R) * ninv mod R  (per-limb int constants)
+        # m = (t mod R) * ninv mod R  (truncated conv; loose is fine —
+        # any m' = m (mod R) works and row-L-1 drops are multiples of R)
         u_scr[...] = jnp.zeros_like(u_scr)
         for i in range(L):
             c = int(ninv_host[i])
             if c:
                 u_scr[i:L, :] += jnp.uint32(c) * t_lo[: L - i, :]
-        m = _carry_passes(u_scr[:L, :], 2)
-        # u = t + m * p; exact carry; high limbs are the result
+        m = _carry_loose(u_scr[:L, :])
+        # u = t + m * p (columns < 2^31); two magnitude passes
         u_scr[...] = t
         for i in range(L):
             c = int(p_host[i])
             if c:
                 u_scr[i : i + L, :] += jnp.uint32(c) * m
-        u = _carry_exact_rows(u_scr[...], 2 * L)
-        return u[L:, :]
+        u = _carry_loose(u_scr[...])
+        # low-half value is exactly 0 or R: carry = any(low != 0)
+        # (reduce in int32 — unsigned max does not legalize in Mosaic)
+        lo_nz = (jnp.max(u[:L, :].astype(jnp.int32), axis=-2,
+                         keepdims=True) > 0).astype(jnp.uint32)
+        hi = u[L:, :]
+        return jnp.concatenate([hi[:1, :] + lo_nz, hi[1:, :]], axis=-2)
 
     def mm(a, b, t_scr, u_scr):
         """Montgomery product via the sublane-shift convolution; scratch
-        refs are reused across sequential calls."""
+        refs are reused across sequential calls. Loose in / loose out;
+        value bound p*(0.0118*jk + 1.004) for a < jp, b < kp."""
         t_scr[...] = jnp.zeros_like(t_scr)
         for i in range(L):
             t_scr[i : i + L, :] += a[i : i + 1, :] * b
-        t = _carry_passes(t_scr[...], 2)          # [2L, T] loose
-        return _mm_reduce(t, t_scr, u_scr)
+        t = _carry_loose(t_scr[...])
+        return _mm_reduce(t, u_scr)
 
     def mk_mm_const(c_int: int):
         """Montgomery product by a fixed field constant (Montgomery
-        form), with the constant's limbs baked as scalars — avoids
-        [L, 1]-operand broadcasts Mosaic cannot lower."""
+        form), with the constant's limbs baked as scalars."""
         c_limbs = [int(v) for v in
                    np.asarray(spec.to_mont_int(c_int)).reshape(L)]
 
@@ -152,25 +192,35 @@ def _mk_field(spec: fl.FieldSpec):
             for i, c in enumerate(c_limbs):
                 if c:
                     t_scr[i : i + L, :] += jnp.uint32(c) * b
-            t = _carry_passes(t_scr[...], 2)
-            return _mm_reduce(t, t_scr, u_scr)
+            t = _carry_loose(t_scr[...])
+            return _mm_reduce(t, u_scr)
 
         return mmc
 
-    return mk_fadd, mk_fsub, mm, mk_mm_const
+    def mk_normalize(r2p):
+        def normalize(x):
+            """Exact limbs + single conditional subtract: [0, 3.62p)
+            loose -> [0, 2p) canonical (the jnp-path contract)."""
+            y = _carry_exact_rows(x, L, passes=1)
+            s = y + r2p
+            s = _carry_exact_rows(s, L + 1, passes=1)
+            red, cout = s[:L, :], s[L, :]
+            return jnp.where((cout > 0)[None, :], red, y)
+        return normalize
+
+    return fadd, mk_fsub, mm, mk_mm_const, mk_normalize
 
 
-def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int):
+def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int, norm: bool):
     L = spec.nlimbs
-    mk_fadd, mk_fsub, mm_, mk_mm_const = _mk_field(spec)
+    fadd, mk_fsub, mm_, mk_mm_const, mk_normalize = _mk_field(spec)
     mm_b3 = mk_mm_const(b3_int)
 
     def kernel(cr, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo,
                t_scr, u_scr):
         consts = cr[...]
-        r2p = consts[0:L, :]
-        fadd = mk_fadd(r2p)
-        fsub = mk_fsub(r2p, consts[L : 2 * L, :])
+        fsub4 = mk_fsub(consts[2 * L : 3 * L, :])
+        fsub2 = mk_fsub(consts[L : 2 * L, :])
 
         def mm(a, b):
             return mm_(a, b, t_scr, u_scr)
@@ -182,31 +232,36 @@ def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int):
         X1, Y1, Z1 = sq(x1r[...]), sq(y1r[...]), sq(z1r[...])
         X2, Y2, Z2 = sq(x2r[...]), sq(y2r[...]), sq(z2r[...])
 
-        # RCB Algorithm 7 (a = 0), mirrors group.CurveOps.add
+        # RCB Algorithm 7 (a = 0), mirrors group.CurveOps.add.
+        # Value bounds (in multiples of p; inputs <= O = 3.62, mm
+        # outputs <= m = 1.62): every mm product jk <= 4*O^2 = 53 < 64.
         t0 = mm(X1, X2)
         t1 = mm(Y1, Y2)
         t2 = mm(Z1, Z2)
         t3 = mm(fadd(X1, Y1), fadd(X2, Y2))
-        t3 = fsub(t3, fadd(t0, t1))
+        t3 = fsub4(t3, fadd(t0, t1))          # <= m + 4
         t4 = mm(fadd(Y1, Z1), fadd(Y2, Z2))
-        t4 = fsub(t4, fadd(t1, t2))
+        t4 = fsub4(t4, fadd(t1, t2))          # <= m + 4
         X3 = mm(fadd(X1, Z1), fadd(X2, Z2))
-        Y3 = fsub(X3, fadd(t0, t2))
+        Y3 = fsub4(X3, fadd(t0, t2))          # <= m + 4
         X3 = fadd(t0, t0)
-        t0 = fadd(X3, t0)
+        t0 = fadd(X3, t0)                     # <= 3m
         t2 = mmb3(t2)
-        Z3 = fadd(t1, t2)
-        t1 = fsub(t1, t2)
-        Y3 = mmb3(Y3)
-        X3 = mm(t4, Y3)
-        t2_ = mm(t3, t1)
-        X3 = fsub(t2_, X3)
-        Y3 = mm(Y3, t0)
-        t1 = mm(t1, Z3)
-        Y3 = fadd(t1, Y3)
-        t0 = mm(t0, t3)
-        Z3 = mm(Z3, t4)
-        Z3 = fadd(Z3, t0)
+        Z3 = fadd(t1, t2)                     # <= 2m
+        t1 = fsub2(t1, t2)                    # <= m + 2
+        Y3 = mmb3(Y3)                         # jk = m+4 = 5.6
+        X3 = mm(t4, Y3)                       # jk = (m+4)*m = 9.1
+        t2_ = mm(t3, t1)                      # jk = (m+4)(m+2) = 20.3
+        X3 = fsub2(t2_, X3)                   # <= m + 2
+        Y3 = mm(Y3, t0)                       # jk = m*3m = 7.9
+        t1 = mm(t1, Z3)                       # jk = (m+2)*2m = 11.7
+        Y3 = fadd(t1, Y3)                     # <= 2m
+        t0 = mm(t0, t3)                       # jk = 3m*(m+4) = 27.3
+        Z3 = mm(Z3, t4)                       # jk = 2m*(m+4) = 18.2
+        Z3 = fadd(Z3, t0)                     # <= 2m
+        if norm:
+            normalize = mk_normalize(consts[0:L, :])
+            X3, Y3, Z3 = normalize(X3), normalize(Y3), normalize(Z3)
         xo[...] = X3.reshape(xo.shape)
         yo[...] = Y3.reshape(yo.shape)
         zo[...] = Z3.reshape(zo.shape)
@@ -214,16 +269,14 @@ def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int):
     return kernel
 
 
-def _mk_double_kernel(spec: fl.FieldSpec, b3_int: int):
+def _mk_double_kernel(spec: fl.FieldSpec, b3_int: int, norm: bool):
     L = spec.nlimbs
-    mk_fadd, mk_fsub, mm_, mk_mm_const = _mk_field(spec)
+    fadd, mk_fsub, mm_, mk_mm_const, mk_normalize = _mk_field(spec)
     mm_b3 = mk_mm_const(b3_int)
 
     def kernel(cr, xr, yr, zr, xo, yo, zo, t_scr, u_scr):
         consts = cr[...]
-        r2p = consts[0:L, :]
-        fadd = mk_fadd(r2p)
-        fsub = mk_fsub(r2p, consts[L : 2 * L, :])
+        fsub6 = mk_fsub(consts[3 * L : 4 * L, :])
 
         def mm(a, b):
             return mm_(a, b, t_scr, u_scr)
@@ -234,25 +287,31 @@ def _mk_double_kernel(spec: fl.FieldSpec, b3_int: int):
         sq = lambda v: v.reshape(v.shape[-2:])
         X, Y, Z = sq(xr[...]), sq(yr[...]), sq(zr[...])
 
-        # RCB Algorithm 9 (a = 0), mirrors group.CurveOps.double
+        # RCB Algorithm 9 (a = 0), mirrors group.CurveOps.double.
+        # Bounds: inputs <= O = 3.62, mm outputs <= m = 1.62; peak
+        # intermediate Z3 <= 8m = 13p (value-safe, << R/p = 84);
+        # every mm product jk <= 8m^2 = 21 after t0's O^2 = 13.
         t0 = mm(Y, Y)
         Z3 = fadd(t0, t0)
         Z3 = fadd(Z3, Z3)
-        Z3 = fadd(Z3, Z3)
+        Z3 = fadd(Z3, Z3)                     # <= 8m
         t1 = mm(Y, Z)
         t2 = mm(Z, Z)
         t2 = mmb3(t2)
-        X3 = mm(t2, Z3)
-        Y3 = fadd(t0, t2)
-        Z3 = mm(t1, Z3)
+        X3 = mm(t2, Z3)                       # jk = m*8m = 21
+        Y3 = fadd(t0, t2)                     # <= 2m
+        Z3 = mm(t1, Z3)                       # jk = m*8m = 21
         t1 = fadd(t2, t2)
-        t2 = fadd(t1, t2)
-        t0 = fsub(t0, t2)
-        Y3 = mm(t0, Y3)
-        Y3 = fadd(X3, Y3)
+        t2 = fadd(t1, t2)                     # <= 3m
+        t0 = fsub6(t0, t2)                    # <= m + 6 (3m < 6)
+        Y3 = mm(t0, Y3)                       # jk = (m+6)*2m = 24.7
+        Y3 = fadd(X3, Y3)                     # <= 2m
         t1 = mm(X, Y)
-        X3 = mm(t0, t1)
-        X3 = fadd(X3, X3)
+        X3 = mm(t0, t1)                       # jk = (m+6)*m = 12.4
+        X3 = fadd(X3, X3)                     # <= 2m
+        if norm:
+            normalize = mk_normalize(consts[0:L, :])
+            X3, Y3, Z3 = normalize(X3), normalize(Y3), normalize(Z3)
         xo[...] = X3.reshape(xo.shape)
         yo[...] = Y3.reshape(yo.shape)
         zo[...] = Z3.reshape(zo.shape)
@@ -262,24 +321,24 @@ def _mk_double_kernel(spec: fl.FieldSpec, b3_int: int):
 
 @functools.lru_cache(None)
 def _build(kind: str, p: int, nlimbs: int, b3_int: int, B: int, V: int,
-           tile: int, three_d: bool):
+           tile: int, three_d: bool, norm: bool):
     spec = fl.FieldSpec(p=p, nlimbs=nlimbs)
     L = nlimbs
     mk = _mk_add_kernel if kind == "add" else _mk_double_kernel
-    kernel = mk(spec, b3_int)
+    kernel = mk(spec, b3_int, norm)
     n_in = 6 if kind == "add" else 3
     if three_d:
         grid = (B, V // tile)
         bs = pl.BlockSpec((1, L, tile), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
-        cs = pl.BlockSpec((2 * L, 1), lambda i, j: (0, 0),
+        cs = pl.BlockSpec((4 * L, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
         out_sh = jax.ShapeDtypeStruct((B, L, V), jnp.uint32)
     else:
         grid = (V // tile,)
         bs = pl.BlockSpec((L, tile), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
-        cs = pl.BlockSpec((2 * L, 1), lambda j: (0, 0),
+        cs = pl.BlockSpec((4 * L, 1), lambda j: (0, 0),
                           memory_space=pltpu.VMEM)
         out_sh = jax.ShapeDtypeStruct((L, V), jnp.uint32)
     interpret = jax.default_backend() == "cpu"
@@ -317,21 +376,28 @@ def _prep(spec, coords):
 
 
 @functools.lru_cache(None)
-def _const_pack(p: int, nlimbs: int, b3_int: int):
-    """[2L, 1] host constant rows: R-2p | 2p+1 (b3 is baked into the
-    kernel as scalar limbs)."""
-    spec = fl.FieldSpec(p=p, nlimbs=nlimbs)
-    return np.concatenate([
-        fl.int_to_limbs(spec.R - 2 * p, nlimbs)[:, None],
-        fl.int_to_limbs(2 * p + 1, nlimbs)[:, None],
-    ], axis=0).astype(np.uint32)
+def _const_pack(p: int, nlimbs: int):
+    """[4L, 1] host constant rows: R-2p | D_2 | D_4 | D_6, where
+    D_K = K*p + 2 - S with S = sum_i 2^(13 i) — the fsub offsets that
+    make the complement artifact exactly 2R (see module docstring)."""
+    L = nlimbs
+    S = ((1 << (fl.LIMB_BITS * L)) - 1) // ((1 << fl.LIMB_BITS) - 1)
+    R = 1 << (fl.LIMB_BITS * L)
+    rows = [fl.int_to_limbs(R - 2 * p, L)[:, None]]
+    for K in (2, 4, 6):
+        dk = K * p + 2 - S
+        assert 0 < dk < R
+        rows.append(fl.int_to_limbs(dk, L)[:, None])
+    return np.concatenate(rows, axis=0).astype(np.uint32)
 
 
 def add_points(spec: fl.FieldSpec, b3_int: int, p1, p2):
     """Fused RCB complete addition; p1, p2 = (x, y, z) coord tuples."""
     coords, shape, B, V, Vp, tile, three_d = _prep(spec, list(p1) + list(p2))
-    call = _build("add", spec.p, spec.nlimbs, b3_int, B, Vp, tile, three_d)
-    cpack = _const_pack(spec.p, spec.nlimbs, b3_int)
+    norm = V <= _NORM_MAX
+    call = _build("add", spec.p, spec.nlimbs, b3_int, B, Vp, tile,
+                  three_d, norm)
+    cpack = _const_pack(spec.p, spec.nlimbs)
     xs, ys, zs = call(cpack, *coords)
     out = []
     for o in (xs, ys, zs):
@@ -343,9 +409,10 @@ def add_points(spec: fl.FieldSpec, b3_int: int, p1, p2):
 
 def double_point(spec: fl.FieldSpec, b3_int: int, p1):
     coords, shape, B, V, Vp, tile, three_d = _prep(spec, list(p1))
+    norm = V <= _NORM_MAX
     call = _build("double", spec.p, spec.nlimbs, b3_int, B, Vp, tile,
-                  three_d)
-    cpack = _const_pack(spec.p, spec.nlimbs, b3_int)
+                  three_d, norm)
+    cpack = _const_pack(spec.p, spec.nlimbs)
     xs, ys, zs = call(cpack, *coords)
     out = []
     for o in (xs, ys, zs):

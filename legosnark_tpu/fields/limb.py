@@ -387,8 +387,13 @@ def cond_sub_2p(spec: FieldSpec, x):
 
 
 def canon(spec: FieldSpec, x):
-    """Canonical representative (< p) of a redundant-domain value < 2p."""
-    return cond_sub_p(spec, x)
+    """Canonical representative (< p) of a redundant-domain value < 4p.
+
+    Accepts loose limbs (<= 2^13 + 63): the cond_sub carry chains
+    normalize as a side effect. Two steps cover the Pallas group
+    kernels' lazy-reduction outputs (< 3.62p, see curve/pallas_group)
+    as well as the jnp-path [0, 2p) contract."""
+    return cond_sub_p(spec, cond_sub_2p(spec, x))
 
 
 def add(spec: FieldSpec, a, b):

@@ -74,3 +74,35 @@ def test_pallas_group_add_double_match_oracle():
     I = g1_from_oracle(ids)
     S2 = pallas_group.add_points(FQ, 9, tuple(P), tuple(I))
     assert g1_to_oracle_batch(Point(*S2)) == pts
+
+
+def test_pallas_lazy_reduction_chain():
+    """v2 lazy-reduction soundness: long add/double chains at a width
+    that disables output normalization (>128 lanes), so loose limbs and
+    [0, 3.62p) values flow between kernel calls at their steady-state
+    bounds; canon-compared against the bigint oracle."""
+    from legosnark_tpu.curve.group import Point
+    n = 160  # > _NORM_MAX: loose outputs; also exercises pad to 256
+    pts = [oracle.g1_mul(oracle.G1, k + 1) for k in range(n)]
+    P = g1_from_oracle(pts)
+    acc = tuple(P)
+    want = list(pts)
+    for step in range(6):
+        if step % 3 == 2:
+            acc = pallas_group.double_point(FQ, 9, acc)
+            want = [oracle.g1_add(w, w) for w in want]
+        else:
+            acc = pallas_group.add_points(FQ, 9, acc, tuple(P))
+            want = [oracle.g1_add(w, p) for w, p in zip(want, pts)]
+    got = g1_to_oracle_batch(Point(*acc))
+    assert got == want
+
+    # inverse pairs through the wide path: P + (-P) == identity, and
+    # P + P through ADD (the doubling corner of the complete law)
+    negs = [(x, FQ.p - y) for (x, y) in pts]
+    N = g1_from_oracle(negs)
+    Z = pallas_group.add_points(FQ, 9, tuple(P), tuple(N))
+    assert g1_to_oracle_batch(Point(*Z)) == [None] * n
+    D2 = pallas_group.add_points(FQ, 9, tuple(P), tuple(P))
+    assert g1_to_oracle_batch(Point(*D2)) == [
+        oracle.g1_add(p, p) for p in pts]
