@@ -105,7 +105,10 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
     d_sorted = d[order]
 
     ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
-    idx = jnp.searchsorted(d_sorted, ts, side="left")
+    # method="sort" (merge-by-sorting): the default while-loop binary
+    # search costs ~26ms per window at 2^20 on TPU; the sort-based
+    # lowering is ~4x cheaper
+    idx = jnp.searchsorted(d_sorted, ts, side="left", method="sort")
     safe = jnp.minimum(idx, n - 1)
 
     w = _SCAN_LANES

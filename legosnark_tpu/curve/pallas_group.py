@@ -123,13 +123,36 @@ def _carry_exact_rows(x, nout: int, passes: int = 2):
     return (x + cin) & LIMB_MASK
 
 
+def _conv_const_mxu(x, lo_w, hi_w):
+    """Toeplitz-constant convolution of loose limbs [L, T] on the MXU:
+    both the constant matrix and the variable operand split into
+    7-bit int8 pieces, contracted with exact int32 accumulation, and
+    recombined with two shifts. x limbs < 2^14; weight rows give the
+    output column count."""
+    x32 = x.astype(jnp.int32)
+    x_lo = (x32 & 0x7F).astype(jnp.int8)
+    x_hi = (x32 >> 7).astype(jnp.int8)
+
+    def doti(w, v):
+        return jax.lax.dot_general(
+            w, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    s0 = doti(lo_w, x_lo)
+    s1 = doti(lo_w, x_hi) + doti(hi_w, x_lo)
+    s2 = doti(hi_w, x_hi)
+    return (s0.astype(jnp.uint32)
+            + (s1.astype(jnp.uint32) << 7)
+            + (s2.astype(jnp.uint32) << 14))
+
+
 def _mk_field(spec: fl.FieldSpec):
     """In-kernel lazy field helpers. Only Python-int per-limb constants
     are closed over; the [L, 1]-shaped constant rows (R-2p and the
-    fsub offsets D_2/D_4/D_6) arrive via a packed `consts` input."""
+    fsub offsets D_2/D_4/D_6) arrive via a packed u32 `consts` input,
+    and the Montgomery-reduction Toeplitz weights (ninv, p, b3) via a
+    packed int8 `weights` input (see `_weight_pack`)."""
     L = spec.nlimbs
-    p_host = np.asarray(spec.p_limbs).reshape(L)
-    ninv_host = np.asarray(spec.ninv_limbs).reshape(L)
 
     def fadd(a, b):
         # loose + loose: columns <= 2^14+42; one pass -> limbs <= 2^13+3
@@ -144,26 +167,17 @@ def _mk_field(spec: fl.FieldSpec):
             return _carry_exact_rows(cols, L, passes=1)
         return fsub
 
-    def _mm_reduce(t, u_scr):
-        """Montgomery reduction of loose product columns t [2L, T]:
-        returns loose high limbs of (t + m*p)/R including the low-half
-        carry (low rows sum to exactly 0 or R)."""
+    def _mm_reduce(t, w):
+        """Montgomery reduction of loose product columns t [2L, T] via
+        two MXU Toeplitz matmuls: returns loose high limbs of
+        (t + m*p)/R including the low-half carry (low rows sum to
+        exactly 0 or R)."""
         t_lo = t[:L, :]
-        # m = (t mod R) * ninv mod R  (truncated conv; loose is fine —
-        # any m' = m (mod R) works and row-L-1 drops are multiples of R)
-        u_scr[...] = jnp.zeros_like(u_scr)
-        for i in range(L):
-            c = int(ninv_host[i])
-            if c:
-                u_scr[i:L, :] += jnp.uint32(c) * t_lo[: L - i, :]
-        m = _carry_loose(u_scr[:L, :])
+        # m = (t mod R) * ninv mod R (truncated conv; loose is fine —
+        # any m' = m (mod R) works, dropped carries are multiples of R)
+        m = _carry_loose(_conv_const_mxu(t_lo, w["n_lo"], w["n_hi"]))
         # u = t + m * p (columns < 2^31); two magnitude passes
-        u_scr[...] = t
-        for i in range(L):
-            c = int(p_host[i])
-            if c:
-                u_scr[i : i + L, :] += jnp.uint32(c) * m
-        u = _carry_loose(u_scr[...])
+        u = _carry_loose(t + _conv_const_mxu(m, w["p_lo"], w["p_hi"]))
         # low-half value is exactly 0 or R: carry = any(low != 0)
         # (reduce in int32 — unsigned max does not legalize in Mosaic)
         lo_nz = (jnp.max(u[:L, :].astype(jnp.int32), axis=-2,
@@ -171,31 +185,23 @@ def _mk_field(spec: fl.FieldSpec):
         hi = u[L:, :]
         return jnp.concatenate([hi[:1, :] + lo_nz, hi[1:, :]], axis=-2)
 
-    def mm(a, b, t_scr, u_scr):
-        """Montgomery product via the sublane-shift convolution; scratch
-        refs are reused across sequential calls. Loose in / loose out;
-        value bound p*(0.0118*jk + 1.004) for a < jp, b < kp."""
+    def mm(a, b, t_scr, w):
+        """Montgomery product: the variable*variable limb convolution
+        runs as the sublane-shift scratch loop (VPU), the two constant
+        reduction convolutions on the MXU. Loose in / loose out; value
+        bound p*(0.0118*jk + 1.004) for a < jp, b < kp."""
         t_scr[...] = jnp.zeros_like(t_scr)
         for i in range(L):
             t_scr[i : i + L, :] += a[i : i + 1, :] * b
         t = _carry_loose(t_scr[...])
-        return _mm_reduce(t, u_scr)
+        return _mm_reduce(t, w)
 
-    def mk_mm_const(c_int: int):
-        """Montgomery product by a fixed field constant (Montgomery
-        form), with the constant's limbs baked as scalars."""
-        c_limbs = [int(v) for v in
-                   np.asarray(spec.to_mont_int(c_int)).reshape(L)]
-
-        def mmc(b, t_scr, u_scr):
-            t_scr[...] = jnp.zeros_like(t_scr)
-            for i, c in enumerate(c_limbs):
-                if c:
-                    t_scr[i : i + L, :] += jnp.uint32(c) * b
-            t = _carry_loose(t_scr[...])
-            return _mm_reduce(t, u_scr)
-
-        return mmc
+    def mm_b3(b, t_scr, w):
+        """Montgomery product by the curve constant b3: all three
+        convolutions are constant-Toeplitz -> all on the MXU."""
+        del t_scr
+        t = _carry_loose(_conv_const_mxu(b, w["b3_lo"], w["b3_hi"]))
+        return _mm_reduce(t, w)
 
     def mk_normalize(r2p):
         def normalize(x):
@@ -208,25 +214,36 @@ def _mk_field(spec: fl.FieldSpec):
             return jnp.where((cout > 0)[None, :], red, y)
         return normalize
 
-    return fadd, mk_fsub, mm, mk_mm_const, mk_normalize
+    return fadd, mk_fsub, mm, mm_b3, mk_normalize
+
+
+def _unpack_weights(wr, L: int):
+    """Split the packed [10L, L] int8 weight input back into the four
+    reduction matrices + two b3 matrices (see `_weight_pack`)."""
+    w = wr[...]
+    return {
+        "n_lo": w[0:L, :], "n_hi": w[L : 2 * L, :],
+        "p_lo": w[2 * L : 4 * L, :], "p_hi": w[4 * L : 6 * L, :],
+        "b3_lo": w[6 * L : 8 * L, :], "b3_hi": w[8 * L : 10 * L, :],
+    }
 
 
 def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int, norm: bool):
     L = spec.nlimbs
-    fadd, mk_fsub, mm_, mk_mm_const, mk_normalize = _mk_field(spec)
-    mm_b3 = mk_mm_const(b3_int)
+    fadd, mk_fsub, mm_, mm_b3_, mk_normalize = _mk_field(spec)
 
-    def kernel(cr, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo,
-               t_scr, u_scr):
+    def kernel(cr, wr, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo,
+               t_scr):
         consts = cr[...]
+        w = _unpack_weights(wr, L)
         fsub4 = mk_fsub(consts[2 * L : 3 * L, :])
         fsub2 = mk_fsub(consts[L : 2 * L, :])
 
         def mm(a, b):
-            return mm_(a, b, t_scr, u_scr)
+            return mm_(a, b, t_scr, w)
 
         def mmb3(b):
-            return mm_b3(b, t_scr, u_scr)
+            return mm_b3_(b, t_scr, w)
 
         sq = lambda v: v.reshape(v.shape[-2:])
         X1, Y1, Z1 = sq(x1r[...]), sq(y1r[...]), sq(z1r[...])
@@ -271,18 +288,18 @@ def _mk_add_kernel(spec: fl.FieldSpec, b3_int: int, norm: bool):
 
 def _mk_double_kernel(spec: fl.FieldSpec, b3_int: int, norm: bool):
     L = spec.nlimbs
-    fadd, mk_fsub, mm_, mk_mm_const, mk_normalize = _mk_field(spec)
-    mm_b3 = mk_mm_const(b3_int)
+    fadd, mk_fsub, mm_, mm_b3_, mk_normalize = _mk_field(spec)
 
-    def kernel(cr, xr, yr, zr, xo, yo, zo, t_scr, u_scr):
+    def kernel(cr, wr, xr, yr, zr, xo, yo, zo, t_scr):
         consts = cr[...]
+        w = _unpack_weights(wr, L)
         fsub6 = mk_fsub(consts[3 * L : 4 * L, :])
 
         def mm(a, b):
-            return mm_(a, b, t_scr, u_scr)
+            return mm_(a, b, t_scr, w)
 
         def mmb3(b):
-            return mm_b3(b, t_scr, u_scr)
+            return mm_b3_(b, t_scr, w)
 
         sq = lambda v: v.reshape(v.shape[-2:])
         X, Y, Z = sq(xr[...]), sq(yr[...]), sq(zr[...])
@@ -333,6 +350,8 @@ def _build(kind: str, p: int, nlimbs: int, b3_int: int, B: int, V: int,
                           memory_space=pltpu.VMEM)
         cs = pl.BlockSpec((4 * L, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec((10 * L, L), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
         out_sh = jax.ShapeDtypeStruct((B, L, V), jnp.uint32)
     else:
         grid = (V // tile,)
@@ -340,16 +359,17 @@ def _build(kind: str, p: int, nlimbs: int, b3_int: int, B: int, V: int,
                           memory_space=pltpu.VMEM)
         cs = pl.BlockSpec((4 * L, 1), lambda j: (0, 0),
                           memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec((10 * L, L), lambda j: (0, 0),
+                          memory_space=pltpu.VMEM)
         out_sh = jax.ShapeDtypeStruct((L, V), jnp.uint32)
     interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[cs] + [bs] * n_in,
+        in_specs=[cs, ws] + [bs] * n_in,
         out_specs=(bs, bs, bs),
         out_shape=(out_sh, out_sh, out_sh),
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32),
-                        pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=interpret,
     )
 
@@ -376,6 +396,33 @@ def _prep(spec, coords):
 
 
 @functools.lru_cache(None)
+def _weight_pack(p: int, nlimbs: int, b3_int: int):
+    """[10L, L] int8 Toeplitz weights for the MXU reduction matmuls:
+    rows [0:L]=ninv_lo, [L:2L]=ninv_hi, [2L:4L]=p_lo, [4L:6L]=p_hi,
+    [6L:8L]=b3_lo, [8L:10L]=b3_hi — each the 7-bit (lo) / high-bit
+    (hi) split of the Toeplitz matrix T[k, i] = c[k - i]."""
+    spec = fl.FieldSpec(p=p, nlimbs=nlimbs)
+    L = nlimbs
+
+    def toeplitz(c, rows):
+        T = np.zeros((rows, L), dtype=np.int64)
+        for k in range(rows):
+            for i in range(L):
+                if 0 <= k - i < len(c):
+                    T[k, i] = c[k - i]
+        return T
+
+    N = toeplitz(np.asarray(spec.ninv_limbs).reshape(L), L)
+    P = toeplitz(np.asarray(spec.p_limbs).reshape(L), 2 * L)
+    B3 = toeplitz(np.asarray(spec.to_mont_int(b3_int)).reshape(L), 2 * L)
+    parts = []
+    for M in (N, P, B3):
+        parts.append((M & 0x7F).astype(np.int8))
+        parts.append((M >> 7).astype(np.int8))
+    return np.concatenate(parts, axis=0)
+
+
+@functools.lru_cache(None)
 def _const_pack(p: int, nlimbs: int):
     """[4L, 1] host constant rows: R-2p | D_2 | D_4 | D_6, where
     D_K = K*p + 2 - S with S = sum_i 2^(13 i) — the fsub offsets that
@@ -398,7 +445,8 @@ def add_points(spec: fl.FieldSpec, b3_int: int, p1, p2):
     call = _build("add", spec.p, spec.nlimbs, b3_int, B, Vp, tile,
                   three_d, norm)
     cpack = _const_pack(spec.p, spec.nlimbs)
-    xs, ys, zs = call(cpack, *coords)
+    wpack = _weight_pack(spec.p, spec.nlimbs, b3_int)
+    xs, ys, zs = call(cpack, wpack, *coords)
     out = []
     for o in (xs, ys, zs):
         if Vp != V:
@@ -413,7 +461,8 @@ def double_point(spec: fl.FieldSpec, b3_int: int, p1):
     call = _build("double", spec.p, spec.nlimbs, b3_int, B, Vp, tile,
                   three_d, norm)
     cpack = _const_pack(spec.p, spec.nlimbs)
-    xs, ys, zs = call(cpack, *coords)
+    wpack = _weight_pack(spec.p, spec.nlimbs, b3_int)
+    xs, ys, zs = call(cpack, wpack, *coords)
     out = []
     for o in (xs, ys, zs):
         if Vp != V:

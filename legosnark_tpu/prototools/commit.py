@@ -74,6 +74,12 @@ class CommitmentKey(NamedTuple):
     g1s: Point  # [.., L, n] G1 bases
     g2s: Point  # [.., L, n] G2 bases
     h: Point    # blinding base in G1
+    h2: Point   # G2 mirror of h (same discrete log), so the knowledge
+    #             leg can carry the blinding randomness: with
+    #             kc = <g2s, v> + r*h2 the pairing check
+    #             e(c, g2_0) == e(g1_0, kc) stays sound for r != 0 —
+    #             the reference dodges this by hardcoding r = 0
+    #             (`commit.h:151-152` "XXX: Ignored")
 
 
 def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
@@ -87,7 +93,8 @@ def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
     """
     if benchmark_compat:
         return CommitmentKey(
-            g1_generator((n,)), g2_generator((n,)), g1_generator())
+            g1_generator((n,)), g2_generator((n,)), g1_generator(),
+            g2_generator())
 
     rng = np.random.default_rng(seed ^ 0x1E605)
     scal = lrand.rand_fr_canonical(rng, n + 1)   # [L, n+1]
@@ -97,9 +104,10 @@ def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
     g1s = msm_mod.batch_scalar_mul(G1, t1, scal, c=8)
     g2s = msm_mod.batch_scalar_mul(G2, t2, scal, c=8)
     h = point_map(lambda x: x[..., n : n + 1], g1s)
+    h2 = point_map(lambda x: x[..., n : n + 1], g2s)
     g1s = point_map(lambda x: x[..., :n], g1s)
     g2s = point_map(lambda x: x[..., :n], g2s)
-    return CommitmentKey(g1s, g2s, h)
+    return CommitmentKey(g1s, g2s, h, h2)
 
 
 def commit(ck: CommitmentKey, v_mont, r_mont=None, c: int | None = None
@@ -119,8 +127,11 @@ def commit(ck: CommitmentKey, v_mont, r_mont=None, c: int | None = None
     if r_mont is None:
         r_mont = FR_OPS.zero()
     else:
-        rh = G1.scalar_mul(ck.h, fl.from_mont(FR, r_mont))
-        cpt = G1.add(cpt, rh)
+        r_can = fl.from_mont(FR, r_mont)
+        cpt = G1.add(cpt, G1.scalar_mul(ck.h, r_can))
+        # knowledge leg carries the same randomness over h2 so the
+        # pairing well-formedness check holds for blinded commitments
+        kc = G2.add(kc, G2.scalar_mul(ck.h2, r_can))
     return CommOut(Comm(cpt, kc), r_mont, v_mont)
 
 

@@ -72,6 +72,7 @@ def test_sigma_protocols():
         jax.jit(sigma.zkprd_verify)(g, h, cx, cy, cz_bad, pf, e)))
 
 
+@pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 def test_cppoly_roundtrip():
     d = 3
     key = cppoly.keygen(d, seed=1)
@@ -92,6 +93,7 @@ def test_cppoly_roundtrip():
     assert not bool(np.all(jax.jit(cppoly.verify)(key, cm, bad, r, pf)))
 
 
+@pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 def test_cphad_roundtrip():
     n, d = 8, 3
     key = cphad.keygen(n, seed=2)
@@ -132,6 +134,7 @@ def _mk_matrices(n):
     return stack(A), stack(B), stack(C), C
 
 
+@pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 def test_cpmat_in_clear_roundtrip():
     n, d = 4, 2
     key = cpmat.keygen(n, seed=3)

@@ -99,24 +99,22 @@ def test_msm_column_major_path_matches_legacy(monkeypatch):
     small enough for CPU (G = 8 columns of 16)."""
     import numpy as np
     from legosnark_tpu.curve import msm as msm_mod
-    from legosnark_tpu.curve.group import G1, g1_generator, Point, \
+    from legosnark_tpu.curve.group import G1, g1_from_oracle, \
         g1_to_oracle
     from legosnark_tpu.curve import bn254
     from legosnark_tpu.fields import limb as fl
     import jax
     import jax.numpy as jnp
+    import oracle
 
     n = 128
     rng = np.random.default_rng(7)
     vals = [int.from_bytes(rng.bytes(40), "little") % bn254.R
             for _ in range(n)]
     scalars = jnp.asarray(fl.ints_to_limbs(vals, bn254.FR.nlimbs))
-    ks = jnp.asarray(fl.ints_to_limbs(
-        [int(x) for x in rng.integers(1, 1 << 30, size=n)],
-        bn254.FR.nlimbs))
-    base = g1_generator()
-    b = Point(*(jnp.broadcast_to(x, x.shape[:-1] + (n,)) for x in base))
-    pts = jax.jit(G1.scalar_mul)(b, ks)
+    # oracle-built points: avoids a scalar_mul jit (minutes of compile)
+    pts = g1_from_oracle(
+        [oracle.g1_mul(oracle.G1, k + 3) for k in range(n)])
 
     monkeypatch.setattr(msm_mod, "_SCAN_LANES", 16)
     out_cm = jax.jit(lambda p, s: msm_mod.msm(G1, p, s, c=4))(pts, scalars)

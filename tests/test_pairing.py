@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import oracle
 from legosnark_tpu.curve import bn254, pairing as pr
 from legosnark_tpu.curve.group import (
+
+pytestmark = pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
     G1, Point, g1_from_oracle, g2_from_oracle,
 )
 

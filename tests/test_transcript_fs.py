@@ -54,6 +54,7 @@ def test_transcript_determinism_and_sensitivity():
     assert not np.array_equal(np.asarray(cs[..., 0]), np.asarray(cs[..., 1]))
 
 
+@pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 def test_cphad_fs_roundtrip_and_tamper():
     n, d = 4, 2
     key = cphad.keygen(n, seed=6)

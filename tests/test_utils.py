@@ -109,6 +109,7 @@ def test_bp_circuit_parser(tmp_path):
     assert (c.n_gates, c.n_constraints, c.n_bits) == (4, 2, 8)
 
 
+@pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 def test_cp_input_format():
     from legosnark_tpu.prototools import commit as cs
     from legosnark_tpu.gadgets import snark
