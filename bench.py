@@ -12,13 +12,15 @@ constant is the measured order of magnitude of libff's OpenMP
 points/sec) — documented here as the comparison anchor until the
 driver produces a measured reference number.
 
-Roofline sanity (v5e, 13-bit limbs, L=20): one Montgomery mul is
-~3 limb convolutions ≈ 3*L^2 u32 mul-adds plus carries ≈ 4e3 VPU ops;
-an RCB complete add is 12 muls ≈ 5e4 ops. The sort+suffix-scan MSM
-does ~2 adds/point/window * 20 windows = 40 adds/point ≈ 2e6 VPU ops
-per point, so a ~4e12 ops/s VPU bounds throughput at ~2e6 points/s
-before memory effects; the measured number should sit within ~2-4x of
-that bound.
+Roofline (v5e, 13-bit limbs, L=20, measured round 4): one fused
+Pallas Montgomery mul sustains ~1.4e9 muls/s at 2^18 lanes (~1.7e12
+u32 mult-adds/s ~ VPU peak); an RCB complete add (14 muls with MXU
+Montgomery reduction + lazy carries) costs ~5ms per 2^18-wide batch.
+Per window the MSM pays ~2n group adds (column-major suffix scan)
++ one n-index permutation gather + sort + boundary phases; with 16
+windows (c=16) the add work alone bounds throughput at ~2e6 points/s,
+gathers/sort push the practical ceiling to ~1e6/s — measured 2^20
+throughput should sit within ~2x of that.
 """
 from __future__ import annotations
 

@@ -83,6 +83,20 @@ def _unpack16(v, L: int):
     return jnp.concatenate([lo, hi], axis=-2)[..., :L, :]
 
 
+def _pack_cat(p: Point):
+    """All three coords packed and stacked on the limb axis:
+    [..., 3*ceil(L/2), V] — one array so per-window gathers issue a
+    single per-index gather for the whole point."""
+    return jnp.concatenate([_pack16(a) for a in p], axis=-2)
+
+
+#: fuse the 3 coords into ONE per-window gather up to this batch size.
+#: Measured on v5e: fused wins at 2^18 (33 vs 40 ms gather+scan),
+#: separate per-coord gathers win at 2^20 (75 vs 97 ms).
+_FUSE_GATHER_MAX = int(os.environ.get("LEGOSNARK_MSM_FUSE_GATHER",
+                                      str(1 << 18)))
+
+
 def _window_sum(C: CurveOps, points: Point, d, c: int,
                 packed: Point | None = None) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
@@ -120,16 +134,25 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
     else:
         G = n // w
         L = points.x.shape[-2]
+        h = -(-L // 2)
+        fuse = n <= _FUSE_GATHER_MAX
         if packed is None:
-            packed = point_map(_pack16, points)
+            packed = (_pack_cat(points) if fuse
+                      else point_map(_pack16, points))
         # gather straight into the column-major layout: fold the
-        # (w, G) -> (G, w) transpose into the sort permutation; gather
-        # PACKED rows (half the elements), unpack after
+        # (w, G) -> (G, w) transpose into the sort permutation; packed
+        # rows halve the moved elements, and below _FUSE_GATHER_MAX all
+        # three coords ride ONE per-index gather
         idx2d = jnp.transpose(order.reshape(w, G))          # [G, w]
-        ps = point_map(
-            lambda a: _unpack16(
-                jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0), L),
-            packed)                                         # [G,..,L,w]
+        if fuse:
+            g = jnp.moveaxis(jnp.take(packed, idx2d, axis=-1), -2, 0)
+            ps = Point(*(_unpack16(g[..., i * h : (i + 1) * h, :], L)
+                         for i in range(3)))                # [G,..,L,w]
+        else:
+            ps = point_map(
+                lambda a: _unpack16(
+                    jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0), L),
+                packed)
         loc = jax.lax.associative_scan(C.add, ps, reverse=True, axis=0)
         # column totals -> exclusive lane-suffix (w lanes: small)
         tot = point_map(lambda x: x[0], loc)                # [.., L, w]
@@ -138,14 +161,14 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
             lambda s, i: jnp.concatenate([s[..., 1:], i], axis=-1),
             stot, C.identity((1,)))
         # global suffix at sorted position i = loc[i % G, :, i // G]
-        # + tex[i // G]; flatten PACKED loc to [.., L/2, n] with
+        # + tex[i // G]; flatten+pack loc to ONE [.., 3h, n] array with
         # j = r*w + q and gather only the 2^c-1 boundary columns
-        lflat = point_map(
-            lambda x: jnp.moveaxis(_pack16(x), 0, -2).reshape(
-                x.shape[1:-2] + (-(-L // 2), n)), loc)
-        j_t = (safe % G) * w + safe // G
-        bv = point_map(lambda a: _unpack16(jnp.take(a, j_t, axis=-1), L),
-                       lflat)
+        lp = _pack_cat(loc)                                 # [G,..,3h,w]
+        lflat = jnp.moveaxis(lp, 0, -2).reshape(
+            lp.shape[1:-2] + (3 * h, n))
+        bp = jnp.take(lflat, (safe % G) * w + safe // G, axis=-1)
+        bv = Point(*(_unpack16(bp[..., i * h : (i + 1) * h, :], L)
+                     for i in range(3)))
         q = C.add(bv, point_index(tex, safe // G))
 
     q = C.select(idx < n, q, C.identity((ts.shape[0],)))
@@ -201,7 +224,10 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     # scans and bucket trees run n-wide; transport coords are packed
     # once (two 16-bit limb halves per word) for all windows' gathers
     use_cm = n % _SCAN_LANES == 0 and n // _SCAN_LANES >= 8
-    packed = point_map(_pack16, points) if use_cm else None
+    packed = None
+    if use_cm:
+        packed = (_pack_cat(points) if n <= _FUSE_GATHER_MAX
+                  else point_map(_pack16, points))
     window_fn = functools.partial(_window_sum, C, points, c=c,
                                   packed=packed)
     chunk = _window_chunk(n, W)

@@ -206,6 +206,37 @@ def sumcheck_rounds_sharded(tables, challenges, mesh: Mesh,
     return mle.SumcheckRounds(h_coeffs=h_coeffs, finals=finals, zs=zs)
 
 
+def matrix_fold_sharded(A, beta_rho, mesh: Mesh, axis: str = "data"):
+    """`DPMatrixMle` preprocessing on a COLUMN-sharded matrix: each
+    chip folds the row variables of its own column block with the
+    replicated eq-table (`mle.matrix_mle_fold`); zero communication —
+    the contraction runs over the replicated ROW axis. A: [n, L, n]
+    (rows leading, cols on the vector axis); returns the folded [L, n]
+    table replicated (an all-gather of one [L, n/ndev] block per chip)."""
+    def local(a, b):
+        part = mle.matrix_mle_fold(a, b)               # [L, cols/ndev]
+        return jax.lax.all_gather(part, axis, axis=part.ndim - 1,
+                                  tiled=True)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, None, axis), P()),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)(A, beta_rho)
+
+
+def cpmat_rounds_sharded(A, B_T, beta_r, beta_s, challenges, mesh: Mesh,
+                         axis: str = "data"):
+    """The CPmmp prover hot path end-to-end distributed (SURVEY §2.3 /
+    `matrixsc.cc:106-152`): column-sharded DPMatrixMle folds of A and
+    B^T (no comms), then the d/2-round sumcheck on the folded tables
+    with cyclically-sharded state (`sumcheck_rounds_sharded`). Returns
+    the same `mle.SumcheckRounds` as the local engine."""
+    ta = matrix_fold_sharded(A, beta_r, mesh, axis)
+    tb = matrix_fold_sharded(B_T, beta_s, mesh, axis)
+    tables = jnp.stack([ta, tb])
+    return sumcheck_rounds_sharded(tables, challenges, mesh, axis)
+
+
 # ---------------------------------------------------------------------------
 # Sharded four-step NTT (SURVEY §2.3 item 3)
 # ---------------------------------------------------------------------------

@@ -13,8 +13,8 @@ from legosnark_tpu.curve import bn254
 from legosnark_tpu.fields import limb as fl
 from legosnark_tpu.gadgets import lipmaa
 from legosnark_tpu.utils import rand as lrand
-
 pytestmark = pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
+
 
 R = bn254.R
 FR = bn254.FR

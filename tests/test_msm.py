@@ -123,3 +123,32 @@ def test_msm_column_major_path_matches_legacy(monkeypatch):
         pts, scalars)
     a, bb = g1_to_oracle(out_cm), g1_to_oracle(out_legacy)
     assert a == bb and a is not None
+
+
+def test_msm_split_gather_path_matches(monkeypatch):
+    """The large-batch window variant (per-coord packed gathers,
+    n > _FUSE_GATHER_MAX) against the fused variant."""
+    import numpy as np
+    from legosnark_tpu.curve import msm as msm_mod
+    from legosnark_tpu.curve.group import G1, g1_from_oracle, g1_to_oracle
+    from legosnark_tpu.curve import bn254
+    from legosnark_tpu.fields import limb as fl
+    import jax
+    import jax.numpy as jnp
+    import oracle
+
+    n = 128
+    rng = np.random.default_rng(17)
+    vals = [int.from_bytes(rng.bytes(40), "little") % bn254.R
+            for _ in range(n)]
+    scalars = jnp.asarray(fl.ints_to_limbs(vals, bn254.FR.nlimbs))
+    pts = g1_from_oracle(
+        [oracle.g1_mul(oracle.G1, k + 5) for k in range(n)])
+
+    monkeypatch.setattr(msm_mod, "_SCAN_LANES", 16)
+    a = g1_to_oracle(jax.jit(
+        lambda p, s: msm_mod.msm(G1, p, s, c=4))(pts, scalars))
+    monkeypatch.setattr(msm_mod, "_FUSE_GATHER_MAX", 0)
+    b = g1_to_oracle(jax.jit(
+        lambda p, s: msm_mod.msm(G1, p, s, c=5))(pts, scalars))
+    assert a == b and a is not None

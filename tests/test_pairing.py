@@ -4,6 +4,7 @@ Validates the TPU replacements for libff `miller_loop` /
 `final_exponentiation` (`/root/reference/src/utils/globl.h:94-105`).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,9 +12,9 @@ import oracle
 from legosnark_tpu.curve import bn254, pairing as pr
 from legosnark_tpu.curve.group import (
 
-pytestmark = pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
     G1, Point, g1_from_oracle, g2_from_oracle,
 )
+pytestmark = pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
 
 rng = np.random.default_rng(11)
 

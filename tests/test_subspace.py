@@ -16,8 +16,8 @@ from legosnark_tpu.curve import msm as msm_mod
 from legosnark_tpu.fields import limb as fl
 from legosnark_tpu.gadgets import subspace
 from legosnark_tpu.utils import rand as lrand
-
 pytestmark = pytest.mark.slow  # pairing-heavy: minutes of XLA compile on the 2-CPU CI host
+
 
 R = bn254.R
 FR = bn254.FR
