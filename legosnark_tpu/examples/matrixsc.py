@@ -79,15 +79,40 @@ def run(d: int, fs: bool = True,
         chal = lrand.rand_fr_mont(rng, d)
         hv = {"eq_e": lrand.rand_fr_mont(rng, d),
               "prd_e": lrand.rand_fr_mont(rng, 1)}
+        # jit the whole prove/verify (one compiled program each): the
+        # eager path pays a ~25ms tunnel dispatch PER OP on the TPU
+        # backend — thousands of ops of pure launch latency. First
+        # call is compile+run (reported separately); the timed phase
+        # is a steady-state call, matching how bench.py measures MSM.
+        prove_fn = jax.jit(lambda *a: cpmat.prove_output_in_clear(
+            *a, nonces, challenges=chal, hv_rand=hv))
+        t0 = bm.now()
+        pf = prove_fn(key, Am, Bm, Cm, r, s)
+        jax.block_until_ready(pf.t_comm.x)
+        prove_compile_s = bm.now() - t0
+        print(f"## prove compile+first-run: {prove_compile_s:.1f}s",
+              flush=True)
         with timer.phase("prove") as out:
-            pf = cpmat.prove_output_in_clear(
-                key, Am, Bm, Cm, r, s, nonces, challenges=chal,
-                hv_rand=hv)
+            pf = prove_fn(key, Am, Bm, Cm, r, s)
             out.append(pf.t_comm.x)
+        # verify in two jits: the O(n^2) public-output MLE eval (big
+        # data, trivial graph) apart from the pairing-check graph
+        t_fn = jax.jit(cpmat.eval_public_output)
+        verify_fn = jax.jit(lambda k, a, b, p, t: cpmat.
+                            verify_output_in_clear(k, a, b, None, p,
+                                                   hv_rand=hv, t_mont=t))
+        t0 = bm.now()
+        tv = t_fn(Cm, pf.r, pf.s)
+        ok = verify_fn(key, a_cm, b_cm, pf, tv)
+        jax.block_until_ready(ok)
+        verify_compile_s = bm.now() - t0
         with timer.phase("verify") as out:
-            ok = cpmat.verify_output_in_clear(
-                key, a_cm, b_cm, Cm, pf, hv_rand=hv)
+            tv = t_fn(Cm, pf.r, pf.s)
+            ok = verify_fn(key, a_cm, b_cm, pf, tv)
             out.append(ok)
+        print(f"## compile: prove {prove_compile_s:.1f}s "
+              f"verify {verify_compile_s:.1f}s (first-call, cached "
+              f"across runs)")
 
     ok = bool(np.all(np.asarray(ok)))
     sizes = cpmat.proof_size_group_elements(key)

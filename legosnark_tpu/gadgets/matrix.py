@@ -121,16 +121,27 @@ def prove_output_in_clear(key: MatKey, A_mont, B_mont, C_mont,
                     c_ans_comm=t_comm, c_poly_pf=None)
 
 
+def eval_public_output(C_mont, r_mont, s_mont):
+    """The verifier's O(n^2) public-output MLE evaluation
+    (`matrixsc.cc:180`), exposed separately so large-n drivers can jit
+    it apart from the pairing-check graph (one 2^2d eq-table build
+    fused into the sumcheck verifier blows up compile memory)."""
+    rs_point = jnp.concatenate([r_mont, s_mont], axis=-1)
+    return mle.eval_mle(flatten_matrix(C_mont), rs_point)
+
+
 def verify_output_in_clear(key: MatKey, a_comm, b_comm, C_mont,
                            proof: MatProof, r_mont=None, s_mont=None,
-                           transcript=None, hv_rand=None):
+                           transcript=None, hv_rand=None, t_mont=None):
     """`verifyOutputMatrixInClear` (`matrixsc.cc:156-184`): the
     verifier evaluates the public output MLE itself — O(n^2) field ops
-    — and requires the sumcheck to be rooted at exactly that value."""
+    — and requires the sumcheck to be rooted at exactly that value.
+    Pass `t_mont` (from `eval_public_output`) to skip the internal
+    evaluation."""
     r_mont = proof.r if r_mont is None else r_mont
     s_mont = proof.s if s_mont is None else s_mont
-    rs_point = jnp.concatenate([r_mont, s_mont], axis=-1)
-    t = mle.eval_mle(flatten_matrix(C_mont), rs_point)
+    t = t_mont if t_mont is not None else eval_public_output(
+        C_mont, r_mont, s_mont)
     t_comm = cpsc.commit_scalar(key.poly_key.g1, t)
     root_ok = G1.eq(t_comm, proof.t_comm)
 

@@ -93,14 +93,37 @@ def keygen(d: int, seed: int = 0) -> PolyKey:
 
     table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
 
+    # ONE fused fixed-base batch over every level's eq-table (plus the
+    # alpha copies): 2(d+1) separate batch_scalar_mul calls would each
+    # compile a distinct-shape graph — tens of minutes of XLA compiles
+    # at d=20 on the tunneled backend; a single padded concat compiles
+    # once and chunks internally
+    def all_scalars(s_m, al):
+        parts = []
+        for j in range(d + 1):
+            eqt = mle.mk_beta(s_m[..., j:])            # [L, 2^(d-j)] mont
+            parts.append(eqt)
+            parts.append(fl.mont_mul(FR, eqt, al))
+        return fl.from_mont(FR, jnp.concatenate(parts, axis=-1))
+
+    allv = jax.jit(all_scalars)(s_mont, alpha)
+    total = allv.shape[-1]                             # 2*(2^(d+1)-1)
+    chunk = 1 << 14
+    pad = (-total) % chunk if total > chunk else 0
+    if pad:
+        allv = jnp.pad(allv, [(0, 0)] * (allv.ndim - 1) + [(0, pad)])
+    pts = msm_mod.batch_scalar_mul(G1, table, allv, c=8)
+
     bases, bases_a = [], []
+    off = 0
     for j in range(d + 1):
-        eqt = mle.mk_beta(s_mont[..., j:])             # [L, 2^(d-j)] mont
-        eqa = fl.mont_mul(FR, eqt, alpha)
-        bases.append(msm_mod.batch_scalar_mul(
-            G1, table, fl.from_mont(FR, eqt), c=8))
-        bases_a.append(msm_mod.batch_scalar_mul(
-            G1, table, fl.from_mont(FR, eqa), c=8))
+        m = 1 << (d - j)
+        bases.append(point_map(
+            lambda x, o=off, k=m: x[..., o : o + k], pts))
+        off += m
+        bases_a.append(point_map(
+            lambda x, o=off, k=m: x[..., o : o + k], pts))
+        off += m
 
     g2t = msm_mod.fixed_base_table(G2, g2_generator(), c=8)
     sa = jnp.concatenate(

@@ -127,3 +127,8 @@ def fmt_time(micros: float) -> str:
 def print_bm(tag: str, micros: float) -> None:
     """Grep-able `##`-tagged line (`benchmark.cc:8-25`)."""
     print(f"## {tag}: {fmt_time(micros)}")
+
+
+def now() -> float:
+    """Monotonic seconds (for ad-hoc compile-time accounting)."""
+    return time.perf_counter()
