@@ -49,6 +49,10 @@ def emit(config, phase, seconds, extra=None):
         rec.update(extra)
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
+    # write incrementally: `timeout`'s SIGTERM would otherwise kill the
+    # process without running main()'s finally, losing a partial run
+    with open("BENCH_GADGETS.json", "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
 
 
 def bench_cplink(log_n: int):
@@ -121,6 +125,9 @@ def bench_cphad(log_n: int):
 
 
 def main():
+    import signal
+    # let `timeout`-style SIGTERM unwind through finally (artifact flush)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     args = [a for a in sys.argv[1:]]
     scale = 1
     if "--scale" in args:

@@ -40,4 +40,9 @@ def default_window(n: int) -> int:
         return 8
     if n <= (1 << 16):
         return 10
+    if n <= (1 << 17):
+        # measured on v5e at 2^17: c=13 782k pps vs c=16 701k pps —
+        # the 2^16-1 bucket-boundary gather+tree amortizes only from
+        # ~2^18 up (round-4 advisor follow-up)
+        return 13
     return 16

@@ -116,7 +116,11 @@ def test_carry_worst_case_chains():
 def test_get_window():
     x = rand_ints(FR, 1)[0]
     a = to_limbs_batch(FR, [x])
-    for start, width in [(0, 13), (5, 13), (13, 8), (251, 3), (247, 7)]:
+    # widths beyond one limb (14/16/19) can span up to three 13-bit
+    # limbs; start offsets chosen so two- and three-limb spans both hit
+    for start, width in [(0, 13), (5, 13), (13, 8), (251, 3), (247, 7),
+                         (0, 14), (16, 16), (12, 19), (25, 19),
+                         (240, 14), (238, 16)]:
         w = int(np.asarray(fl.get_window(FR, a, start, width))[0])
         assert w == (x >> start) & ((1 << width) - 1)
 
