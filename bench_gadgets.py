@@ -136,6 +136,16 @@ def main():
         del args[i : i + 2]
     which = set(args) or {"cplink", "cphad", "cppoly", "cpmmp"}
 
+    # subset runs keep other configs' existing records (fresh runs of a
+    # config replace its old rows via emit's rewrite below)
+    try:
+        with open("BENCH_GADGETS.json") as fh:
+            for rec in json.load(fh):
+                if not any(rec["config"].startswith(w) for w in which):
+                    RESULTS.append(rec)
+    except (OSError, ValueError):
+        pass
+
     import legosnark_tpu.config  # noqa: F401
 
     shrink = lambda v: max(2, int(round(v * scale)))
