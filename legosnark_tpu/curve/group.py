@@ -226,6 +226,33 @@ class CurveOps:
         return p
 
 
+def to_affine_batch(C: CurveOps, p: Point) -> Point:
+    """Normalize a point batch to z in {0, 1}: (x/z, y/z, 1), identity
+    kept as (0, 1, 0). ONE field inversion for the whole batch via the
+    Montgomery product-tree trick (prefix*suffix products of z), so the
+    cost is ~5 batched muls + a single Fermat inversion — libff keeps
+    MSM bases affine for the same reason (`multi_exp_with_mixed_
+    addition`); normalized bases feed `msm(points_affine=True)`."""
+    F = C.F
+    is_id = F.is_zero(p.z)
+    shape = F.batch_shape(p.z)
+    one = F.bcast(F.one(()), shape)
+    zsafe = F.select(is_id, one, p.z)
+    ax = zsafe.ndim - 1
+    pref = jax.lax.associative_scan(F.mul, zsafe, axis=ax)
+    suf = jax.lax.associative_scan(F.mul, zsafe, axis=ax, reverse=True)
+    tinv = F.inv(pref[..., -1:])
+    pref_m1 = jnp.concatenate([one[..., :1], pref[..., :-1]], axis=-1)
+    suf_p1 = jnp.concatenate([suf[..., 1:], one[..., :1]], axis=-1)
+    zinv = F.mul(tinv, F.mul(pref_m1, suf_p1))
+    x = F.mul(p.x, zinv)
+    y = F.mul(p.y, zinv)
+    zero = F.bcast(F.zero(()), shape)
+    return Point(F.select(is_id, zero, x),
+                 F.select(is_id, one, y),
+                 F.select(is_id, zero, one))
+
+
 # ---------------------------------------------------------------------------
 # Concrete curves
 # ---------------------------------------------------------------------------

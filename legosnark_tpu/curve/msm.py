@@ -97,82 +97,142 @@ _FUSE_GATHER_MAX = int(os.environ.get("LEGOSNARK_MSM_FUSE_GATHER",
                                       str(1 << 18)))
 
 
+def _joint_sort_boundaries(d, c: int):
+    """ONE argsort serving both the by-digit point permutation and the
+    2^c-1 bucket-boundary positions (replaces argsort + a sort-based
+    searchsorted — the searchsorted was a second full sort's worth of
+    time per window). Point i gets key 2*d_i+1, query t gets key 2*t;
+    in the joint order, query t lands exactly at (#points with digit
+    < t) + (t-1), so idx[t-1] = joint_pos(t) - (t-1). The sort is
+    stable, so the point sub-permutation equals argsort(d).
+    Returns (order [n], idx [2^c-1])."""
+    n = d.shape[0]
+    tcount = (1 << c) - 1
+    keys = jnp.concatenate([
+        d.astype(jnp.uint32) * 2 + 1,
+        jnp.arange(1, 1 << c, dtype=jnp.uint32) * 2])
+    order_j = jnp.argsort(keys)
+    isq = order_j >= n
+    qpos = jnp.nonzero(isq, size=tcount)[0]
+    idx = qpos - jnp.arange(tcount, dtype=qpos.dtype)
+    ppos = jnp.nonzero(jnp.logical_not(isq), size=n)[0]
+    order = order_j[ppos]
+    return order, idx
+
+
+def _gathered_packed(points: Point, packed, order, G: int, w: int,
+                     ncoord: int, h: int, L: int):
+    """Gather the packed coords into the column-major [G, .., h, w]
+    layout, one array per coordinate. `packed` is ('fused', arr) or
+    ('percoord', [arrs])."""
+    idx2d = jnp.transpose(order.reshape(w, G))              # [G, w]
+    kind, data = packed
+    if kind == "fused":
+        g = jnp.moveaxis(jnp.take(data, idx2d, axis=-1), -2, 0)
+        return [g[..., i * h : (i + 1) * h, :] for i in range(ncoord)]
+    return [jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0)
+            for a in data]
+
+
 def _window_sum(C: CurveOps, points: Point, d, c: int,
-                packed: Point | None = None) -> Point:
+                packed=None, affine: bool = False) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
 
     Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
     (sum of points with digit >= t). The suffix sums run COLUMN-MAJOR:
     the sorted batch is laid out [G, .., L, w] with lane column q
-    holding sorted positions q*G + r down the LEADING axis, and the
-    suffix scan runs over axis 0. Every scan level then slices whole
-    [L, w] tiles (major-axis strides, plain DMA) instead of stride-2
-    lane shuffles — on TPU the lane-axis formulation spends several
-    times the group-add cost on element shuffles per level. Cross-
-    column carries (the exclusive lane-suffix of the w column totals)
-    are added only at the 2^c-1 bucket-boundary gathers. Total group
-    adds: 2n (column scans) + 2w (total scan) + 2^c (boundary carries).
-    Bucket reduction is a c-level pairwise tree on contiguous halves.
+    holding sorted positions q*G + r down the LEADING axis. Sorted rows
+    are PAIR-REDUCED first (n/2 adds), the suffix scan runs over the
+    G/2 pair rows (2 * n/2 adds), and odd boundary rows are fixed up
+    with one masked add of the original sorted point — 1.5n group adds
+    per window instead of the 2n a full-row scan costs. Cross-column
+    carries (the exclusive lane-suffix of the w column totals) are
+    added only at the 2^c-1 bucket-boundary gathers.
+
+    affine=True: caller guarantees every point with a nonzero scalar
+    has z == 1 (no identities); the z coordinate is neither packed nor
+    gathered — 1/3 less transport.
     """
     n = d.shape[0]
-    order = jnp.argsort(d)
-    d_sorted = d[order]
-
-    ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
-    # method="sort" (merge-by-sorting): the default while-loop binary
-    # search costs ~26ms per window at 2^20 on TPU; the sort-based
-    # lowering is ~4x cheaper
-    idx = jnp.searchsorted(d_sorted, ts, side="left", method="sort")
+    order, idx = _joint_sort_boundaries(d, c)
+    tcount = (1 << c) - 1
     safe = jnp.minimum(idx, n - 1)
 
     w = _SCAN_LANES
-    if n % w or n // w < 8:
+    G = n // w if n % w == 0 else 0
+    if G < 8 or G % 2:
         # small-n fallback: single lane-axis scan
         ps = point_index(points, order)
+        if affine:
+            ps = Point(ps.x, ps.y, _ones_like_coord(C, ps.x))
         suf = _suffix_scan(C, ps)
         q = point_index(suf, safe)
     else:
-        G = n // w
         L = points.x.shape[-2]
         h = -(-L // 2)
-        fuse = n <= _FUSE_GATHER_MAX
+        ncoord = 2 if affine else 3
         if packed is None:
-            packed = (_pack_cat(points) if fuse
-                      else point_map(_pack16, points))
-        # gather straight into the column-major layout: fold the
-        # (w, G) -> (G, w) transpose into the sort permutation; packed
-        # rows halve the moved elements, and below _FUSE_GATHER_MAX all
-        # three coords ride ONE per-index gather
-        idx2d = jnp.transpose(order.reshape(w, G))          # [G, w]
-        if fuse:
-            g = jnp.moveaxis(jnp.take(packed, idx2d, axis=-1), -2, 0)
-            ps = Point(*(_unpack16(g[..., i * h : (i + 1) * h, :], L)
-                         for i in range(3)))                # [G,..,L,w]
-        else:
-            ps = point_map(
-                lambda a: _unpack16(
-                    jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0), L),
-                packed)
-        loc = jax.lax.associative_scan(C.add, ps, reverse=True, axis=0)
+            packed = _pack_points(points, n, affine)
+        gs = _gathered_packed(points, packed, order, G, w, ncoord, h, L)
+        coords = [_unpack16(g, L) for g in gs]              # [G,..,L,w]
+        if affine:
+            coords.append(_ones_like_coord(C, coords[0]))
+        ps = Point(*coords)
+
+        # pair pre-reduce, then scan over the G/2 pair rows
+        pair = C.add(point_map(lambda a: a[0::2], ps),
+                     point_map(lambda a: a[1::2], ps))      # [G/2,..,w]
+        loc2 = jax.lax.associative_scan(C.add, pair, reverse=True, axis=0)
         # column totals -> exclusive lane-suffix (w lanes: small)
-        tot = point_map(lambda x: x[0], loc)                # [.., L, w]
+        tot = point_map(lambda x: x[0], loc2)               # [.., L, w]
         stot = _suffix_scan(C, tot)
         tex = point_map(
             lambda s, i: jnp.concatenate([s[..., 1:], i], axis=-1),
             stot, C.identity((1,)))
-        # global suffix at sorted position i = loc[i % G, :, i // G]
-        # + tex[i // G]; flatten+pack loc to ONE [.., 3h, n] array with
-        # j = r*w + q and gather only the 2^c-1 boundary columns
-        lp = _pack_cat(loc)                                 # [G,..,3h,w]
-        lflat = jnp.moveaxis(lp, 0, -2).reshape(
-            lp.shape[1:-2] + (3 * h, n))
-        bp = jnp.take(lflat, (safe % G) * w + safe // G, axis=-1)
-        bv = Point(*(_unpack16(bp[..., i * h : (i + 1) * h, :], L)
-                     for i in range(3)))
-        q = C.add(bv, point_index(tex, safe // G))
 
-    q = C.select(idx < n, q, C.identity((ts.shape[0],)))
+        r = safe % G
+        col = safe // G
+        # suffix at row r of col q = loc2[(r+1)//2, q]  (+ ps[r, q] when
+        # r is odd; loc2[G/2] := identity for the last odd row)
+        idrow = C.identity(())
+        loc2p = point_map(
+            lambda a, i: jnp.concatenate(
+                [a, jnp.broadcast_to(i, a.shape[1:])[None]], axis=0),
+            loc2, idrow)
+        lp = _pack_cat(loc2p)                               # [G/2+1,..,3h,w]
+        lflat = jnp.moveaxis(lp, 0, -2).reshape(
+            lp.shape[1:-2] + (3 * h, (G // 2 + 1) * w))
+        bp = jnp.take(lflat, ((r + 1) // 2) * w + col, axis=-1)
+        base = Point(*(_unpack16(bp[..., i * h : (i + 1) * h, :], L)
+                       for i in range(3)))
+        # odd-row fixup from the packed gathered copy
+        flat_ix = r * w + col
+        ex = [jnp.take(
+            jnp.moveaxis(g, 0, -2).reshape(g.shape[1:-2] + (h, n)),
+            flat_ix, axis=-1) for g in gs]
+        exc = [_unpack16(e, L) for e in ex]
+        if affine:
+            exc.append(_ones_like_coord(C, exc[0]))
+        extra = C.select(r % 2 == 1, Point(*exc), C.identity((tcount,)))
+        q = C.add(C.add(base, extra), point_index(tex, col))
+
+    q = C.select(idx < n, q, C.identity((tcount,)))
     return C.sum_reduce(q)
+
+
+def _ones_like_coord(C: CurveOps, x):
+    """A z == 1 coordinate plane broadcast to x's shape."""
+    one = C.F.one(())
+    return jnp.broadcast_to(one, x.shape[:-2] + one.shape[-2:-1] + x.shape[-1:])
+
+
+def _pack_points(points: Point, n: int, affine: bool):
+    """Shared packed transport coords for all windows' gathers."""
+    coords = [points.x, points.y] if affine else list(points)
+    if n <= _FUSE_GATHER_MAX:
+        return ("fused",
+                jnp.concatenate([_pack16(a) for a in coords], axis=-2))
+    return ("percoord", [_pack16(a) for a in coords])
 
 
 #: lane width of the column-major scan layout (columns per batch)
@@ -201,7 +261,8 @@ def _window_chunk(n: int, W: int) -> int:
 
 
 def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
-        fr_spec: fl.FieldSpec = bn254.FR) -> Point:
+        fr_spec: fl.FieldSpec = bn254.FR,
+        points_affine: bool = False) -> Point:
     """Variable-base MSM: sum_i scalars_i * points_i.
 
     `scalars`: canonical Fr limbs [L, n]. `points`: Point batch [.., n].
@@ -209,6 +270,11 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     static shapes. Window size defaults to `config.default_window(n)`
     (override with the LEGOSNARK_MSM_C env var — tests use a small
     window so the bucket phase stays cheap on the CPU mesh).
+
+    points_affine=True: caller guarantees z == 1 for every point whose
+    scalar is nonzero (use `group.to_affine_batch`; identity/padding
+    points are fine IF their scalars are zero — they die in the digit-0
+    bucket). Drops the z plane from all per-window transport.
     """
     if c is None:
         from .. import config
@@ -223,13 +289,11 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     # all windows batched (mapped in memory-bounded chunks): the sorts,
     # scans and bucket trees run n-wide; transport coords are packed
     # once (two 16-bit limb halves per word) for all windows' gathers
-    use_cm = n % _SCAN_LANES == 0 and n // _SCAN_LANES >= 8
-    packed = None
-    if use_cm:
-        packed = (_pack_cat(points) if n <= _FUSE_GATHER_MAX
-                  else point_map(_pack16, points))
+    G = n // _SCAN_LANES if n % _SCAN_LANES == 0 else 0
+    use_cm = G >= 8 and G % 2 == 0
+    packed = _pack_points(points, n, points_affine) if use_cm else None
     window_fn = functools.partial(_window_sum, C, points, c=c,
-                                  packed=packed)
+                                  packed=packed, affine=points_affine)
     chunk = _window_chunk(n, W)
     S = jax.lax.map(window_fn, digits,
                     batch_size=None if chunk == 1 else chunk)

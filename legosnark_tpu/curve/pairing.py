@@ -255,14 +255,8 @@ def g2_affine(p: Point):
             jnp.logical_not(is_id))
 
 
-def multi_miller(px, py, qx, qy, valid=None):
-    """prod_i miller(P_i, Q_i) over the vector axis, with an optional
-    validity mask (invalid pairs contribute 1) — the batched analogue of
-    libff's `double_miller_loop` chains in the reference verifiers."""
-    fs = miller_loop(px, py, qx, qy)  # Fq12 batch [.., n]
-    if valid is not None:
-        fs = F12.select(valid, fs, F12.one(F12.batch_shape(fs)))
-    # tree-product over the vector axis (contiguous halves)
+def _tree_prod(fs):
+    """Tree-product of an Fq12 batch over the vector axis."""
     n = fs.shape[-1]
     while n > 1:
         h = n // 2
@@ -274,9 +268,50 @@ def multi_miller(px, py, qx, qy, valid=None):
     return fs
 
 
+def multi_miller(px, py, qx, qy, valid=None):
+    """prod_i miller(P_i, Q_i) over the vector axis, with an optional
+    validity mask (invalid pairs contribute 1) — the batched analogue of
+    libff's `double_miller_loop` chains in the reference verifiers."""
+    fs = miller_loop(px, py, qx, qy)  # Fq12 batch [.., n]
+    if valid is not None:
+        fs = F12.select(valid, fs, F12.one(F12.batch_shape(fs)))
+    return _tree_prod(fs)
+
+
 def point_concat(ps) -> Point:
     """Concatenate point batches along the vector axis."""
     return Point(*(jnp.concatenate(xs, axis=-1) for xs in zip(*ps)))
+
+
+# Decomposed jitted pieces for EAGER callers: each compiles once per
+# pad shape and is shared by every verifier in the framework (staged
+# gadget verifiers, example drivers, tests run without an outer jit).
+# On the tunneled TPU backend one inlined pairing product costs ~25
+# minutes of XLA compile (miller ~5 min, final exp ~18 min); the
+# decomposition amortizes that to a handful of shared graphs: raw
+# miller per pad width (4/16/32), ONE [.., 1] final-exp graph, tiny
+# select/product shims. tests/test_pairing drives the SAME `miller_jit`
+# / `final_exp_jit` objects, so the slow tier adds no new pairing
+# compiles beyond these.
+miller_jit = jax.jit(miller_loop)
+final_exp_jit = jax.jit(final_exp)
+_g1aff_jit = jax.jit(lambda p: g1_affine(p))
+_g2aff_jit = jax.jit(lambda p: g2_affine(p))
+_prodsel_jit = jax.jit(lambda fs, valid: _tree_prod(
+    F12.select(valid, fs, F12.one(F12.batch_shape(fs)))))
+
+
+def _pad_pairs(g1_points: Point, g2_points: Point):
+    n = g1_points.x.shape[-1]
+    m = 4
+    while m < n:
+        m *= 2
+    if m != n:
+        pad1 = G1.identity(g1_points.x.shape[:-2] + (m - n,))
+        pad2 = G2.identity(g2_points.x.shape[:-3] + (m - n,))
+        g1_points = point_concat([g1_points, pad1])
+        g2_points = point_concat([g2_points, pad2])
+    return g1_points, g2_points
 
 
 def pairing_product_is_one(g1_points: Point, g2_points: Point):
@@ -288,20 +323,22 @@ def pairing_product_is_one(g1_points: Point, g2_points: Point):
     legs, so every verifier in the framework reuses a small set of
     compiled Miller-loop graphs instead of one per pairing count —
     compile time, not FLOPs, dominates these small verifier programs.
+    Called EAGERLY (no surrounding jit), the affine/miller/final-exp
+    stages dispatch to the module-level jitted pieces above; under a
+    trace everything inlines as before.
     """
-    n = g1_points.x.shape[-1]
-    m = 4
-    while m < n:
-        m *= 2
-    if m != n:
-        pad1 = G1.identity(g1_points.x.shape[:-2] + (m - n,))
-        pad2 = G2.identity(g2_points.x.shape[:-3] + (m - n,))
-        g1_points = point_concat([g1_points, pad1])
-        g2_points = point_concat([g2_points, pad2])
-    px, py, v1 = g1_affine(g1_points)
-    qx, qy, v2 = g2_affine(g2_points)
-    f = multi_miller(px, py, qx, qy, jnp.logical_and(v1, v2))
-    return F12.is_one(final_exp(f))[..., 0]
+    g1_points, g2_points = _pad_pairs(g1_points, g2_points)
+    if isinstance(g1_points.x, jax.core.Tracer) or \
+            isinstance(g2_points.x, jax.core.Tracer):
+        px, py, v1 = g1_affine(g1_points)
+        qx, qy, v2 = g2_affine(g2_points)
+        f = multi_miller(px, py, qx, qy, jnp.logical_and(v1, v2))
+        return F12.is_one(final_exp(f))[..., 0]
+    px, py, v1 = _g1aff_jit(g1_points)
+    qx, qy, v2 = _g2aff_jit(g2_points)
+    fs = miller_jit(px, py, qx, qy)
+    f = _prodsel_jit(fs, jnp.logical_and(v1, v2))
+    return F12.is_one(final_exp_jit(f))[..., 0]
 
 
 

@@ -1,13 +1,18 @@
 """CPlink end-to-end demo — mirror of `examples/cplink.cc`.
 
-Commits the same vector u under two base sets, builds the 2 x (2 + N)
-linking relation, runs subspace keygen/prove/verify and asserts success
+Commits the same vector u under two independent CommScheme keys via the
+CPInputFmt flow (`gadgets/snark.init_no_pub` over `prototools/commit` —
+the reference's input plumbing, `snark.h:65-82`), builds the
+2 x (2 + N) linking relation as a col-major SPARSE matrix
+(`utils/sparse.insert_as_col_major`, `matrix.h:53-61`), runs the
+subspace argument with the sparse scalar fast keygen
+(`subspace.keygen_scalar_sparse` -> `sparse_inner_product`,
+`subspace.cc:45-65` + `sparsemexp.cc:26-33`) and asserts success
 (`/root/reference/src/examples/cplink.cc:17-114`; default N there is
 2^10 — pass a smaller exponent on CPU).
 
-Keygen uses the reference's scalar fast path (`subspace.h:19`
-`scalarsAvailable`): the relation matrix is known as Fr scalars over G,
-so P = (k^T sM)*G is a field contraction + one fixed-base batch exp.
+Verification also checks the commitments' knowledge legs
+(`check_knowledge`, the e(c, g2)==e(g1, kc) well-formedness pairing).
 
 Usage: python -m legosnark_tpu.examples.cplink [LOG_N]
 """
@@ -21,70 +26,71 @@ import jax.numpy as jnp
 
 from .. import config  # noqa: F401
 from ..curve import bn254
-from ..curve.group import Point, G1, g1_generator, point_stack
-from ..curve import msm as msm_mod
+from ..curve.group import Point, G1
 from ..fields import limb as fl
-from ..gadgets import subspace
+from ..gadgets import snark, subspace
+from ..prototools import commit as cs
 from ..utils import benchmark as bm
-from ..utils import rand as lrand
+from ..utils import sparse as sp
 
 FR = bn254.FR
 R = bn254.R
 
 
-def run(log_n: int) -> bool:
+def run(log_n: int) -> dict:
     n = 1 << log_n
     timer = bm.Benchmarkable(f"cplink_{log_n}")
     rng = np.random.default_rng(23)
 
-    # two independent base sets + blinding bases (real random bases,
-    # unlike the reference's all-generator shortcut, `commit.h:129-139`)
-    table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
-    exp_ints = lrand.rand_fr_ints(rng, 2 * n + 2)
-    exps = jnp.asarray(fl.ints_to_limbs(exp_ints, FR.nlimbs))  # [L, 2n+2]
-    pts = msm_mod.batch_scalar_mul(G1, table, exps, c=8)
-    sl = lambda a, b: Point(*(x[..., a:b] for x in pts))
-    h, f = sl(0, 1), sl(1, 2)
-    bases_h, bases_f = sl(2, n + 2), sl(n + 2, 2 * n + 2)
+    # two independent CommScheme keys (real random bases, unlike the
+    # reference's all-generator shortcut, `commit.h:129-139`), with
+    # their base scalars exposed for the relation's scalar fast path
+    ck_h, s_h = cs.keygen(n, seed=1, return_scalars=True)
+    ck_f, s_f = cs.keygen(n, seed=2, return_scalars=True)
+    sh_ints = [fl.limbs_to_int(np.asarray(s_h)[:, j]) for j in range(n + 1)]
+    sf_ints = [fl.limbs_to_int(np.asarray(s_f)[:, j]) for j in range(n + 1)]
 
-    # witness: u, rH, rF; commitments under both base sets
-    u_ints = lrand.rand_fr_ints(rng, n)
-    u = jnp.asarray(fl.ints_to_limbs(u_ints, FR.nlimbs))       # [L, n]
-    rH_i, rF_i = lrand.rand_fr_int(rng), lrand.rand_fr_int(rng)
-    rH = jnp.asarray(fl.int_to_limbs(rH_i, FR.nlimbs)[:, None])
-    rF = jnp.asarray(fl.int_to_limbs(rF_i, FR.nlimbs)[:, None])
-
+    # witness u committed under both keys through the CPInputFmt flow
+    u = jnp.asarray(fl.to_mont(FR, jnp.asarray(
+        fl.ints_to_limbs([int.from_bytes(rng.bytes(31), "little") % R
+                          for _ in range(n)], FR.nlimbs))))
     with timer.phase("commit") as out:
-        cH = G1.add(msm_mod.msm(G1, bases_h, u), G1.scalar_mul(h, rH))
-        cF = G1.add(msm_mod.msm(G1, bases_f, u), G1.scalar_mul(f, rF))
-        out.append((cH.x, cF.x))
+        pin_h, vin_h = snark.init_no_pub(ck_h, [u], rng)
+        pin_f, vin_f = snark.init_no_pub(ck_f, [u], rng)
+        out.append((vin_h.comm_in[0].c.x, vin_f.comm_in[0].c.x))
 
-    # scalar mirror of the linking relation (rows as Fr over G):
-    #   [ e_h  0  s_g... ]      where base = s * G for each column
-    #   [ 0  e_f  s_f... ]
-    sM_rows = np.stack([
-        FR.to_mont_ints([exp_ints[0], 0] + exp_ints[2 : n + 2]),
-        FR.to_mont_ints([0, exp_ints[1]] + exp_ints[n + 2 :]),
-    ])                                                          # [2, L, t]
+    # sparse linking relation [ h 0 g... ; 0 f f... ] (cplink.cc:17-41),
+    # 2 nonzeros per base column, 1 per blinding column
+    t = 2 * n + 2
+    entries = [(0, 0, sh_ints[n]), (1, 1, sf_ints[n])]
+    for j in range(n):
+        entries.append((0, 2 + j, sh_ints[j]))
+        entries.append((1, 2 + j, sf_ints[j]))
+    sM = sp.insert_as_col_major(entries, nrows=2, ncols=t, nnz_max=2,
+                                mont=True)
     with timer.phase("keygen") as out:
-        key = subspace.keygen_scalar(jnp.asarray(sM_rows), seed=7)
+        key = subspace.keygen_scalar_sparse(sM, seed=7)
         out.append(key.P.x)
 
-    # w = [rH, rF, u] in Montgomery form for prove()
-    to_mont = lambda canon: fl.to_mont(FR, canon)
-    w = jnp.concatenate([to_mont(rH), to_mont(rF), to_mont(u)], axis=-1)
+    # w = [rH, rF, u]
+    rH = pin_h.comm_slot[0].r
+    rF = pin_f.comm_slot[0].r
+    w = jnp.concatenate([rH, rF, u], axis=-1)
 
     with timer.phase("prove") as out:
         pi = subspace.prove(key, w)
         out.append(pi.x)
 
+    cH, cF = vin_h.comm_in[0], vin_f.comm_in[0]
     x = Point(*(jnp.concatenate([a, b], axis=-1)
-                for a, b in zip(cH, cF)))
+                for a, b in zip(cH.c, cF.c)))
     with timer.phase("verify") as out:
         ok = subspace.verify(key, x, pi)
-        out.append(ok)
+        k_ok = jnp.logical_and(cs.check_knowledge(ck_h, cH),
+                               cs.check_knowledge(ck_f, cF))
+        out.append((ok, k_ok))
 
-    ok = bool(np.all(np.asarray(ok)))
+    ok = bool(np.all(np.asarray(ok))) and bool(np.all(np.asarray(k_ok)))
     print(f"=== CPlink N=2^{log_n} ===")
     for phase in ("commit", "keygen", "prove", "verify"):
         bm.print_bm(f"cplink_{phase}", timer.timing_micros(phase))
@@ -92,7 +98,13 @@ def run(log_n: int) -> bool:
     # MYREQUIRE-style assert (`cplink.cc:114`)
     if not ok:
         raise SystemExit(1)
-    return ok
+    return {
+        "ok": ok,
+        "commit_us": timer.timing_micros("commit"),
+        "keygen_us": timer.timing_micros("keygen"),
+        "prove_us": timer.timing_micros("prove"),
+        "verify_us": timer.timing_micros("verify"),
+    }
 
 
 def main(argv):

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple, Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import limb as fl
@@ -63,8 +64,19 @@ def keygen(n: int, seed: int = 0) -> HadKey:
     return HadKey(n, d, cppoly.keygen(d, seed))
 
 
+def keygen_cached(n: int, seed: int = 0) -> HadKey:
+    """`keygen` through the PST13 SRS disk cache."""
+    d = int(n).bit_length() - 1
+    assert 1 << d == n
+    return HadKey(n, d, cppoly.keygen_cached(d, seed))
+
+
 def commit_vec(key: HadKey, v_mont) -> cppoly.PolyComm:
     return cppoly.commit(key.poly_key, v_mont)
+
+
+def commit_vec_staged(key: HadKey, v_mont) -> cppoly.PolyComm:
+    return cppoly.commit_staged(key.poly_key, v_mont)
 
 
 def make_nonces(d: int, seed: int = 0) -> dict:
@@ -100,6 +112,39 @@ def verify(key: HadKey, a_comm, b_comm, c_comm, proof: HadProof,
         key.poly_key, proof.t_ans_comm, (a_comm, b_comm),
         proof.sc_proof, rand=sigma_rand,
         beta_point_fn=lambda r: mle.eval_beta_point(proof.rho, r))
+    return jnp.logical_and(jnp.all(c_ok), jnp.all(sc_ok))
+
+
+# --- staged honest-verifier path (per-shape-jitted, for large n) -----
+
+_beta_jit = jax.jit(lambda rho: mle.mk_beta(rho))
+_beta_pt_jit = jax.jit(lambda rho, r: mle.eval_beta_point(rho, r))
+_stack_jit = jax.jit(lambda a, b: jnp.stack([a, b]))
+
+
+def prove_staged(key: HadKey, a_mont, b_mont, c_mont, rho_mont,
+                 challenges, sigma_rand) -> HadProof:
+    """`prove` semantics through the bucketed CPpoly/sumcheck path
+    (call OUTSIDE jit; honest-verifier mode)."""
+    t, t_comm = cppoly.compute_answer_staged(key.poly_key, c_mont, rho_mont)
+    c_pf = cppoly.prove_staged(key.poly_key, c_mont, rho_mont)
+    sc_pf, _ = cpsc.prove(
+        key.poly_key, _stack_jit(a_mont, b_mont), sigma_rand,
+        beta_table=_beta_jit(rho_mont), challenges=challenges, staged=True)
+    return HadProof(rho=rho_mont, t_ans_comm=t_comm, c_poly_pf=c_pf,
+                    sc_proof=sc_pf)
+
+
+def verify_staged(key: HadKey, a_comm, b_comm, c_comm, proof: HadProof,
+                  sigma_rand):
+    c_ok = jnp.logical_and(
+        cppoly.check_commit_staged(key.poly_key, c_comm),
+        cppoly.verify_staged(key.poly_key, c_comm, proof.t_ans_comm,
+                             proof.rho, proof.c_poly_pf))
+    sc_ok = cpsc.verify(
+        key.poly_key, proof.t_ans_comm, (a_comm, b_comm),
+        proof.sc_proof, rand=sigma_rand,
+        beta_point_fn=lambda r: _beta_pt_jit(proof.rho, r), staged=True)
     return jnp.logical_and(jnp.all(c_ok), jnp.all(sc_ok))
 
 

@@ -100,6 +100,33 @@ def keygen(n: int, seed: int = 0) -> HadLKey:
     return HadLKey(n, chi_pows, interp)
 
 
+def keygen_cached(n: int, seed: int = 0,
+                  cache_dir: str | None = None) -> HadLKey:
+    """`keygen` with the same disk cache scheme as poly.keygen_cached
+    (utils.util.save_point_group): the 2^14 Lagrange/chi-power batch
+    exponentiations are the expensive reusable artifact."""
+    import os
+    from ..utils import util
+    cache_dir = cache_dir or os.environ.get(
+        "LEGOSNARK_SRS_CACHE", os.path.expanduser("~/.cache/legosnark_srs"))
+    path = os.path.join(cache_dir, f"lipmaa_n{n}_s{seed}.npz")
+    if os.path.exists(path):
+        try:
+            g = util.load_point_group(path)
+            interp = InterpKey(n, g["lag_g1"], g["lag_kg2"],
+                               g["z_g1"], g["z_kg2"])
+            return HadLKey(n, g["chi_pows"], interp)
+        except Exception:
+            pass
+    key = keygen(n, seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    util.save_point_group(path, {
+        "lag_g1": key.interp.lag_g1, "lag_kg2": key.interp.lag_kg2,
+        "z_g1": key.interp.z_g1, "z_kg2": key.interp.z_kg2,
+        "chi_pows": key.chi_pows})
+    return key
+
+
 def commit(key: InterpKey, v_mont, r_mont) -> InterpComm:
     """`InterpCommScheme::commit` (`lipmaa.cc:22-30`): Lagrange-basis
     MSMs in G1 and the gamma-shifted G2 leg, plus r * Z(chi)."""

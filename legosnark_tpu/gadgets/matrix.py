@@ -78,6 +78,13 @@ def keygen(n: int, seed: int = 0) -> MatKey:
     return MatKey(n, d, pk)
 
 
+def keygen_cached(n: int, seed: int = 0) -> MatKey:
+    """`keygen` through the PST13 SRS disk cache (poly.keygen_cached)."""
+    d = int(n).bit_length() - 1
+    assert 1 << d == n, "n must be a power of two"
+    return MatKey(n, d, cppoly.keygen_cached(2 * d, seed))
+
+
 def flatten_matrix(M_mont):
     """[n, L, n] -> [L, n^2] row-major MLE table (index = row*n+col)."""
     n = M_mont.shape[0]
@@ -200,6 +207,76 @@ def make_nonces(d: int, seed: int = 0) -> dict:
     rng = np.random.default_rng(seed ^ 0x3A7B)
     return {"eq_k": lrand.rand_fr_mont(rng, d),
             "prd_b": lrand.rand_fr_mont(rng, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Staged (per-shape-jitted) honest-verifier path — the n=1024 bench route
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _prep_tables(A_mont, B_mont, r_mont, s_mont):
+    """Matrix folds + flattens in one compiled pass (the DPMatrixMle
+    collapse, `mle.h:237-262`)."""
+    ta = mle.matrix_mle_fold(A_mont, mle.mk_beta(r_mont))
+    tb = mle.matrix_mle_fold(_transpose(B_mont), mle.mk_beta(s_mont))
+    return (jnp.stack([ta, tb]), flatten_matrix(A_mont),
+            flatten_matrix(B_mont))
+
+
+_commit_scalar_jit = jax.jit(lambda g, v: cpsc.commit_scalar(g, v))
+_open_pt_jit = jax.jit(
+    lambda r, s, rho: (jnp.concatenate([r, rho], axis=-1),
+                       jnp.concatenate([rho, s], axis=-1)))
+
+
+_flatten_jit = jax.jit(lambda M: flatten_matrix(M))
+
+
+def commit_matrix_staged(key: MatKey, M_mont) -> cppoly.PolyComm:
+    return cppoly.commit_staged(key.poly_key, _flatten_jit(M_mont))
+
+
+def prove_output_in_clear_staged(key: MatKey, A_mont, B_mont,
+                                 r_mont, s_mont, nonces, challenges,
+                                 hv_rand) -> MatProof:
+    """`prove_output_in_clear` semantics through the staged sumcheck/
+    CPpoly path — call OUTSIDE jit; the heavy MSMs reuse the bucketed
+    `poly._pair_msm` shape cache. C is not needed (public output)."""
+    tables, a_flat, b_flat = _prep_tables(A_mont, B_mont, r_mont, s_mont)
+    rand = dict(nonces)
+    rand.update(hv_rand)
+    sc_pf, z0 = cpsc.prove(
+        key.poly_key, tables, rand, beta_table=None,
+        open_points_fn=lambda rho: _open_pt_jit(r_mont, s_mont, rho),
+        open_tables=(a_flat, b_flat),
+        challenges=challenges, staged=True)
+    t_comm = _commit_scalar_jit(key.poly_key.g1, z0)
+    return MatProof(r=r_mont, s=s_mont, t_comm=t_comm, sc_proof=sc_pf,
+                    c_ans_comm=t_comm, c_poly_pf=None)
+
+
+_eval_pub_jit = jax.jit(lambda C, r, s: eval_public_output(C, r, s))
+_eq_jit = jax.jit(lambda a, b: jnp.all(G1.eq(a, b)))
+
+
+def verify_output_in_clear_staged(key: MatKey, a_comm, b_comm, C_mont,
+                                  proof: MatProof, hv_rand,
+                                  t_mont=None):
+    """`verify_output_in_clear` through the staged pieces: the O(n^2)
+    public-output MLE eval, the round replay, and ONE compiled CPpoly
+    ladder serving both commitments."""
+    r_mont, s_mont = proof.r, proof.s
+    t = t_mont if t_mont is not None else _eval_pub_jit(
+        C_mont, r_mont, s_mont)
+    t_comm = _commit_scalar_jit(key.poly_key.g1, t)
+    root_ok = _eq_jit(t_comm, proof.t_comm)
+    sc_ok = cpsc.verify(
+        key.poly_key, t_comm, (a_comm, b_comm), proof.sc_proof,
+        rand=hv_rand, beta_point_fn=None,
+        open_points_fn=lambda rho: _open_pt_jit(r_mont, s_mont, rho),
+        staged=True)
+    return jnp.logical_and(jnp.all(root_ok), jnp.all(sc_ok))
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,40 @@ def keygen_scalar(sM_mont, seed: int = 0) -> SubspaceKey:
     return SubspaceKey(P=P, C=C, a=a)
 
 
+def keygen_scalar_sparse(sM, seed: int = 0) -> SubspaceKey:
+    """Scalar fast keygen on a SPARSE relation (`subspace.cc:45-65`
+    driven by `sparseinnerproduct`, `sparsemexp.cc:26-33`): sM is a
+    utils.sparse.SparseMatrix (col-major, Montgomery values, row
+    positions into k). P_j = <k, sM[:, j]> costs nnz muls per column
+    instead of l — the linking relation has 2 nonzeros per column out
+    of l rows."""
+    from ..utils import sparse as sp
+    l = sM.nrows
+    t = sM.values.shape[0]
+    rng = np.random.default_rng(seed ^ 0x5AB5)
+    k_ints = lrand.rand_fr_ints(rng, l)
+    a_hat = lrand.rand_fr_int(rng)
+
+    k_mont = jnp.asarray(FR.to_mont_ints(k_ints))             # [L, l]
+    # vmapped sparse inner product over columns -> [t, L, 1]
+    cols = jax.vmap(
+        lambda v, p: sp.sparse_inner_product(k_mont, sp.SparseVec(v, p)))(
+        sM.values, sM.positions)
+    p_scal = jnp.moveaxis(cols[..., 0], 0, -1)                # [L, t]
+
+    from ..curve.group import g1_generator
+    table = msm_mod.fixed_base_table(G1, g1_generator(), c=8)
+    P = msm_mod.batch_scalar_mul(G1, table,
+                                 fl.from_mont(FR, p_scal), c=8)
+
+    ka = jnp.asarray(fl.ints_to_limbs(
+        [x * a_hat % bn254.R for x in k_ints], FR.nlimbs))
+    C = G2.scalar_mul(g2_generator((l,)), ka)
+    a = G2.scalar_mul(g2_generator(),
+                      jnp.asarray(fl.int_to_limbs(a_hat, FR.nlimbs)[:, None]))
+    return SubspaceKey(P=P, C=C, a=a)
+
+
 def prove(key: SubspaceKey, w_mont) -> Point:
     """pi = <P, w> — the single hot MSM (`subspace.cc:78-85`)."""
     return msm_mod.msm(G1, key.P, fl.from_mont(FR, w_mont))

@@ -83,7 +83,7 @@ def commit_scalar(g: Point, v_mont) -> Point:
 
 def prove(key: cppoly.PolyKey, tables, rand, beta_table=None,
           open_points=None, open_tables=None, open_points_fn=None,
-          challenges=None, transcript=None):
+          challenges=None, transcript=None, staged=False):
     """Sumcheck prove over a product of the stacked `tables` [2, L, 2^d]
     (the two committed MLEs), optionally times `beta_table` [L, 2^d].
 
@@ -99,8 +99,17 @@ def prove(key: cppoly.PolyKey, tables, rand, beta_table=None,
         they are not known upfront). Defaults to the challenges for the
         plain CPsc; CPMat passes the original 2d-variable points.
     open_tables: what CPpoly opens (defaults to the two tables).
+    staged: drive the CPpoly openings through the per-shape-jitted
+        bucket path (poly.prove_staged) and the round loop through one
+        jitted core — call OUTSIDE jit; honest-verifier mode only.
     Returns (proof, z0) with z0 the claimed sum (mont [L, 1]).
     """
+    if staged:
+        assert transcript is None and challenges is not None, \
+            "staged prove is honest-verifier (explicit challenges) only"
+        return _prove_staged_hv(key, tables, rand, beta_table,
+                                open_points, open_tables, open_points_fn,
+                                challenges)
     k_tables = tables.shape[0]
     d = (challenges.shape[-1] if challenges is not None
          else tables.shape[-1].bit_length() - 1)
@@ -188,9 +197,77 @@ def prove(key: cppoly.PolyKey, tables, rand, beta_table=None,
     return proof, z0
 
 
+# ---------------------------------------------------------------------------
+# Staged honest-verifier prover: jitted round core + bucketed openings
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _hv_core(g: Point, h: Point, full, challenges, eq_k, eq_e):
+    """The transcript-free round loop + vectorized ZKEq first moves,
+    compiled once per (d, k) shape. Returns everything `prove` derives
+    before the CPpoly openings."""
+    d = challenges.shape[-1]
+    from ..curve.group import point_stack
+    hs, hcs = [], []
+    cur = full
+    for i in range(d):
+        hpoly = mle.round_poly(cur)
+        hcs.append(commit_scalar(g, hpoly))
+        hs.append(hpoly)
+        cur = mle.fold(cur, challenges[..., i : i + 1])
+    z0 = fl.add(FR, polytools.eval_at(hs[0], fl.zero(FR)),
+                polytools.eval_at(hs[0], fl.one(FR)))
+    a_eq = sigma._smul(h, eq_k)
+    eq_z = FR_OPS.add(eq_k, FR_OPS.mul(eq_e, FR_OPS.zero((d,))))
+    return point_stack(hcs), cur, z0, a_eq, eq_z
+
+
+@jax.jit
+def _prd_jit(g, h, beta_eval, ans0, ans1, prd_b, prd_e):
+    lhs = FR_OPS.mul(beta_eval, ans0)
+    return sigma.zkprd_prove(g, h, lhs, FR_OPS.zero(), ans1,
+                             FR_OPS.zero(), FR_OPS.zero(), prd_b, prd_e)
+
+
+def _prove_staged_hv(key, tables, rand, beta_table, open_points,
+                     open_tables, open_points_fn, challenges):
+    """Staged `prove` body: same proof object, per-shape-jitted pieces."""
+    from ..curve.group import point_stack
+    g, h = key.g1, _blinding(key)
+    full = tables if beta_table is None else jnp.concatenate(
+        [beta_table[None], tables], axis=0)
+    h_comms, finals_tbl, z0, a_eq, eq_z = _hv_core(
+        g, h, full, challenges, rand["eq_k"], rand["eq_e"])
+    eq_pfs = sigma.ZKEqProof(a=a_eq, z=eq_z)
+    r_stack = challenges
+
+    if open_points_fn is not None:
+        open_points = open_points_fn(r_stack)
+    if open_points is None:
+        open_points = (r_stack, r_stack)
+    if open_tables is None:
+        open_tables = (tables[0], tables[1])
+    ans, ans_c, pfs = [], [], []
+    for t, pt in zip(open_tables, open_points):
+        a_val, a_com = cppoly.compute_answer_staged(key, t, pt)
+        ans.append(a_val)
+        ans_c.append(a_com)
+        pfs.append(cppoly.prove_staged(key, t, pt))
+
+    beta_eval = (finals_tbl[0] if beta_table is not None else FR_OPS.one())
+    prd = _prd_jit(g, h, beta_eval, ans[0], ans[1],
+                   rand["prd_b"], rand["prd_e"])
+    proof = SumcheckProof(
+        r=r_stack, h_comms=h_comms, eq_proofs=eq_pfs,
+        ans_comms=point_concat(ans_c), poly_pfs=tuple(pfs),
+        prd_proof=prd, finals=jnp.concatenate(ans, axis=-1))
+    return proof, z0
+
+
 def verify(key: cppoly.PolyKey, z0_comm: Point, mle_comms, proof,
            rand=None, beta_point_fn=None, open_points=None,
-           open_points_fn=None, transcript=None):
+           open_points_fn=None, transcript=None, staged=False):
     """Sumcheck verify (`sumcheck.cc:135-179`).
 
     z0_comm: commitment to the claimed sum. mle_comms: tuple of
@@ -200,7 +277,14 @@ def verify(key: cppoly.PolyKey, z0_comm: Point, mle_comms, proof,
     proof's commitments (the proof's r field is ignored), so any
     tampering with the transcript order breaks verification.
     rand: honest-verifier mode challenges {'eq_e', 'prd_e'}.
+    staged: per-shape-jitted pieces (call OUTSIDE jit, HV mode only) —
+    the two CPpoly ladders verify through ONE compiled program.
     """
+    if staged:
+        assert transcript is None and rand is not None
+        return _verify_staged_hv(key, z0_comm, mle_comms, proof, rand,
+                                 beta_point_fn, open_points,
+                                 open_points_fn)
     d = proof.r.shape[-1]
     g, h = key.g1, _blinding(key)
     checks = []
@@ -260,6 +344,63 @@ def verify(key: cppoly.PolyKey, z0_comm: Point, mle_comms, proof,
     checks.append(sigma.zkprd_verify(
         g, h, lhs_comm, ans_b, z_comm, proof.prd_proof, prd_e))
 
+    out = checks[0]
+    for c in checks[1:]:
+        out = jnp.logical_and(jnp.all(out), jnp.all(c))
+    return out
+
+
+@jax.jit
+def _hv_verify_rounds(g, h, z0_comm, h_comms, eq_a, eq_z, r, eq_e):
+    """Round replay + ZKEq checks, one compiled program per (d, k).
+    Returns ([d] round checks, final z_comm)."""
+    d = r.shape[-1]
+    checks = []
+    z_comm = z0_comm
+    for i in range(d):
+        hc = point_map(lambda x: x[i], h_comms)
+        v0 = polytools.eval_as_poly_on(hc, FR_OPS.zero())
+        v1 = polytools.eval_as_poly_on(hc, FR_OPS.one())
+        v_comm = G1.add(v0, v1)
+        pf_i = sigma.ZKEqProof(a=point_map(lambda x: x[..., i : i + 1], eq_a),
+                               z=eq_z[..., i : i + 1])
+        checks.append(sigma.zkeq_verify(h, v_comm, z_comm, pf_i,
+                                        eq_e[..., i : i + 1]))
+        z_comm = polytools.eval_as_poly_on(hc, r[..., i : i + 1])
+    return jnp.stack([jnp.all(c) for c in checks]), z_comm
+
+
+@jax.jit
+def _prd_verify_jit(g, h, beta_eval, ans_comms, z_comm, prd, prd_e):
+    ans_a = point_map(lambda x: x[..., 0:1], ans_comms)
+    ans_b = point_map(lambda x: x[..., 1:2], ans_comms)
+    lhs_comm = G1.scalar_mul(ans_a, fl.from_mont(FR, beta_eval))
+    return sigma.zkprd_verify(g, h, lhs_comm, ans_b, z_comm, prd, prd_e)
+
+
+def _verify_staged_hv(key, z0_comm, mle_comms, proof, rand,
+                      beta_point_fn, open_points, open_points_fn):
+    g, h = key.g1, _blinding(key)
+    r_stack = proof.r
+    round_ok, z_comm = _hv_verify_rounds(
+        g, h, z0_comm, proof.h_comms, proof.eq_proofs.a, proof.eq_proofs.z,
+        r_stack, rand["eq_e"])
+    checks = [round_ok]
+
+    if open_points_fn is not None:
+        open_points = open_points_fn(r_stack)
+    if open_points is None:
+        open_points = (r_stack, r_stack)
+    for idx, (cm, pt) in enumerate(zip(mle_comms, open_points)):
+        ansc = point_map(lambda x: x[..., idx : idx + 1], proof.ans_comms)
+        checks.append(cppoly.check_commit_staged(key, cm))
+        checks.append(cppoly.verify_staged(key, cm, ansc, pt,
+                                           proof.poly_pfs[idx]))
+
+    beta_eval = (beta_point_fn(r_stack) if beta_point_fn is not None
+                 else FR_OPS.one())
+    checks.append(_prd_verify_jit(g, h, beta_eval, proof.ans_comms,
+                                  z_comm, proof.prd_proof, rand["prd_e"]))
     out = checks[0]
     for c in checks[1:]:
         out = jnp.logical_and(jnp.all(out), jnp.all(c))

@@ -82,19 +82,28 @@ class CommitmentKey(NamedTuple):
     #             (`commit.h:151-152` "XXX: Ignored")
 
 
-def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
-           ) -> CommitmentKey:
+def keygen(n: int, seed: int = 0, benchmark_compat: bool = False,
+           return_scalars: bool = False):
     """Commitment-key generation (`commit.h:129-143`).
 
     benchmark_compat=True: every base (and H) is the generator, exactly
     like the reference. Default: bases are s_i*G for seeded uniform s_i
     (fixed-base windowed table, the `simpleBatchExp` path of
     `/root/reference/src/utils/util.h:119-134`).
+
+    return_scalars=True additionally returns the canonical base scalars
+    [L, n+1] (bases then blinding) — the `scalarsAvailable` notion of
+    `/root/reference/src/gadgets/subspace.h:19`: relations over these
+    bases can run the scalar fast keygen path.
     """
     if benchmark_compat:
-        return CommitmentKey(
+        ck = CommitmentKey(
             g1_generator((n,)), g2_generator((n,)), g1_generator(),
             g2_generator())
+        if return_scalars:
+            ones = jnp.asarray(fl.ints_to_limbs([1] * (n + 1), FR.nlimbs))
+            return ck, ones
+        return ck
 
     rng = np.random.default_rng(seed ^ 0x1E605)
     scal = lrand.rand_fr_canonical(rng, n + 1)   # [L, n+1]
@@ -107,7 +116,10 @@ def keygen(n: int, seed: int = 0, benchmark_compat: bool = False
     h2 = point_map(lambda x: x[..., n : n + 1], g2s)
     g1s = point_map(lambda x: x[..., :n], g1s)
     g2s = point_map(lambda x: x[..., :n], g2s)
-    return CommitmentKey(g1s, g2s, h, h2)
+    ck = CommitmentKey(g1s, g2s, h, h2)
+    if return_scalars:
+        return ck, scal
+    return ck
 
 
 def commit(ck: CommitmentKey, v_mont, r_mont=None, c: int | None = None

@@ -153,6 +153,39 @@ def field_prod(v):
     return v
 
 
+def matmul_mont(A, B, chunk: int = 4):
+    """Field matrix product C = A*B over Fr, C[i,:,j] = sum_k A[i,:,k]*B[k,:,j].
+
+    A, B: [n, L, n] Montgomery (rows leading, cols on the vector axis).
+    Device-side replacement for the reference's host O(n^3) build loop
+    (`/root/reference/src/examples/matrixsc.cc:82-91`) — at n=1024 the
+    host bigint loop is 2^30 Python multiplies (hours); this is ~2^30
+    field muls of batched limb arithmetic (~seconds on TPU). Blocked
+    over k with a lax.scan so the [chunk, n, L, n] product intermediate
+    stays bounded.
+    """
+    n = A.shape[0]
+    if n <= chunk:
+        a = jnp.moveaxis(A, -1, 0)[..., None]      # [n(k), n(i), L, 1]
+        prod = fl.mont_mul(FR, a, B[:, None])      # [n, n, L, n]
+        return field_sum_leading(prod)
+    assert n % chunk == 0
+    nb = n // chunk
+    # [nb, chunk(k), n(i), L, 1] blocks of A columns
+    Ax = jnp.moveaxis(A.reshape(n, A.shape[1], nb, chunk), 2, 0)
+    Ax = jnp.moveaxis(Ax, -1, 1)[..., None]
+    Bx = B.reshape(nb, chunk, B.shape[1], n)       # [nb, chunk(k), L, n]
+
+    def body(acc, blk):
+        a_blk, b_blk = blk
+        prod = fl.mont_mul(FR, a_blk, b_blk[:, None])  # [chunk, n, L, n]
+        return fl.add(FR, acc, field_sum_leading(prod)), None
+
+    acc0 = fl.zero(FR, (n, n))                     # [n, L, n]
+    out, _ = jax.lax.scan(body, acc0, (Ax, Bx))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Generic product-sumcheck prover rounds
 # ---------------------------------------------------------------------------

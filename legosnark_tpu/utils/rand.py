@@ -35,3 +35,35 @@ def rand_fr_canonical(rng: np.random.Generator, n: int):
     """[L, n] uniform canonical (standard-form) Fr limbs."""
     return jnp.asarray(
         fl.ints_to_limbs(rand_fr_ints(rng, n), bn254.FR.nlimbs))
+
+
+def rand_fr_limbs_fast(rng: np.random.Generator, n: int,
+                       bits: int = 253) -> np.ndarray:
+    """[L, n] canonical Fr limbs, vectorized in numpy — O(L*n) array ops
+    instead of O(n) Python bigint draws. Samples uniform in [0, 2^bits);
+    with bits=253 < log2(r) every value is a valid canonical element
+    (distribution is uniform over a 58%-of-Fr prefix — fine for
+    benchmark/test data, NOT for secret keys: use `rand_fr_ints`)."""
+    spec = bn254.FR
+    L, B = spec.nlimbs, fl.LIMB_BITS
+    assert bits <= spec.bits - 1
+    out = rng.integers(0, 1 << B, size=(L, n), dtype=np.uint32)
+    for k in range(L):
+        lo = k * B
+        keep = min(B, max(0, bits - lo))
+        out[k] &= (1 << keep) - 1
+    return out
+
+
+def _to_mont_jit():
+    import jax
+    global _TO_MONT
+    if "_TO_MONT" not in globals():
+        _TO_MONT = jax.jit(lambda v: fl.to_mont(bn254.FR, v))
+    return _TO_MONT
+
+
+def rand_fr_mont_fast(rng: np.random.Generator, n: int):
+    """[L, n] Montgomery-form pseudo-uniform Fr elements (fast path:
+    numpy limb sampling + one on-device to_mont)."""
+    return _to_mont_jit()(jnp.asarray(rand_fr_limbs_fast(rng, n)))

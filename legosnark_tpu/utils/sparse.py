@@ -86,15 +86,19 @@ class SparseMatrix(NamedTuple):
 
 
 def insert_as_col_major(entries, nrows: int, ncols: int,
-                        nnz_max: int) -> SparseMatrix:
-    """Builder (`matrix.h:53-61`): entries = [(row, col, int value)]."""
+                        nnz_max: int, mont: bool = False) -> SparseMatrix:
+    """Builder (`matrix.h:53-61`): entries = [(row, col, int value)].
+    mont=True stores Montgomery-form values (the `sparse_inner_product`
+    convention); default canonical (the sparse-MSM convention)."""
     vals = np.zeros((ncols, FR.nlimbs, nnz_max), dtype=np.uint32)
     pos = np.zeros((ncols, nnz_max), dtype=np.int32)
     fill = [0] * ncols
     for r, c_, v in entries:
         k = fill[c_]
         assert k < nnz_max
-        vals[c_, :, k] = fl.int_to_limbs(v % bn254.R, FR.nlimbs)
+        enc = (FR.to_mont_int(v % bn254.R)[:, 0] if mont
+               else fl.int_to_limbs(v % bn254.R, FR.nlimbs))
+        vals[c_, :, k] = enc
         pos[c_, k] = r
         fill[c_] += 1
     return SparseMatrix(jnp.asarray(vals), jnp.asarray(pos), nrows)

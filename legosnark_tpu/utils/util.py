@@ -64,3 +64,32 @@ def load_point_batch(path: str):
     data = np.load(path)
     return Point(jnp.asarray(data["x"]), jnp.asarray(data["y"]),
                  jnp.asarray(data["z"]))
+
+
+def save_point_group(path: str, points: dict) -> None:
+    """Serialize a named collection of Point batches to ONE .npz
+    (uncompressed — point limbs are near-random, compression wastes
+    minutes on a GB-scale SRS). Atomic: writes a temp file and
+    os.replace()s it so a crash never leaves a truncated key."""
+    import os
+    arrs = {}
+    for name, p in points.items():
+        arrs[f"{name}__x"] = np.asarray(p.x)
+        arrs[f"{name}__y"] = np.asarray(p.y)
+        arrs[f"{name}__z"] = np.asarray(p.z)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrs)
+    os.replace(tmp, path)
+
+
+def load_point_group(path: str) -> dict:
+    """Inverse of `save_point_group` -> {name: Point}."""
+    from ..curve.group import Point
+    data = np.load(path)
+    names = sorted({k[: -len("__x")] for k in data.files
+                    if k.endswith("__x")})
+    return {name: Point(jnp.asarray(data[f"{name}__x"]),
+                        jnp.asarray(data[f"{name}__y"]),
+                        jnp.asarray(data[f"{name}__z"]))
+            for name in names}

@@ -1,5 +1,6 @@
 """Per-stage MSM timing on the real TPU: sort vs gather vs scan vs
-bucket tree. Run: python scripts/profile_msm_stages.py [log_n] [c]"""
+bucket-boundary phases of the column-major `_window_sum` path.
+Run: python scripts/profile_msm_stages.py [log_n] [c]"""
 import sys
 import time
 
@@ -8,8 +9,9 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+import legosnark_tpu.config  # noqa: F401
 from legosnark_tpu.curve import bn254, msm as msm_mod
-from legosnark_tpu.curve.group import G1, g1_generator, Point
+from legosnark_tpu.curve.group import G1, g1_generator, Point, point_map
 from legosnark_tpu.fields import limb as fl
 
 FR = bn254.FR
@@ -39,52 +41,69 @@ def bench(name, fn, *args, reps=3):
         out = f(*args)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:28s} {dt*1e3:9.2f} ms")
+    print(f"{name:28s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 
 
 # stage 1: argsort of digits
-bench("argsort[n]", lambda d: jnp.argsort(d), digits0)
-
+t_sort = bench("argsort[n]", lambda d: jnp.argsort(d), digits0)
 order = jax.jit(jnp.argsort)(digits0)
+d_sorted = jax.jit(lambda d, o: d[o])(digits0, order)
 
-# stage 2: gather points by order (3 coords x L x n u32)
-bench("gather points", lambda p, o: msm_mod.point_index(p, o), points, order)
+# stage 1b: searchsorted for the 2^c-1 bucket boundaries
+ts = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
+t_ss = bench("searchsorted[2^c-1]",
+             lambda ds: jnp.searchsorted(ds, ts, side="left",
+                                         method="sort"), d_sorted)
 
-ps = jax.jit(msm_mod.point_index)(points, order)
+w = msm_mod._SCAN_LANES
+use_cm = n % w == 0 and n // w >= 8
+L = points.x.shape[-2]
+h = -(-L // 2)
+fuse = n <= msm_mod._FUSE_GATHER_MAX
+packed = jax.jit(lambda p: msm_mod._pack_cat(p) if fuse
+                 else point_map(msm_mod._pack16, p))(points)
 
-# stage 3: suffix scan (two-level path as in _window_sum)
-K = msm_mod._SUF_CHUNK
-if n > K and n % K == 0:
-    J = n // K
+if use_cm:
+    G = n // w
 
-    def scan2(px, py, pz):
-        p = Point(px, py, pz)
-        blocks = msm_mod.point_map(
-            lambda x: jnp.moveaxis(x.reshape(x.shape[:-1] + (J, K)), -2, 0), p)
-        loc = jax.lax.associative_scan(
-            G1.add, blocks, reverse=True, axis=blocks.x.ndim - 1)
-        return loc
+    def do_gather(pk, o):
+        idx2d = jnp.transpose(o.reshape(w, G))
+        if fuse:
+            g = jnp.moveaxis(jnp.take(pk, idx2d, axis=-1), -2, 0)
+            return Point(*(msm_mod._unpack16(g[..., i*h:(i+1)*h, :], L)
+                           for i in range(3)))
+        return point_map(
+            lambda a: msm_mod._unpack16(
+                jnp.moveaxis(jnp.take(a, idx2d, axis=-1), -2, 0), L), pk)
 
-    t_scan = bench("suffix scan (2-level loc)", scan2, ps.x, ps.y, ps.z)
+    t_gather = bench("gather (col-major, packed)", do_gather, packed, order)
+    ps = jax.jit(do_gather)(packed, order)
+
+    t_scan = bench("column assoc-scan [G,..,w]",
+                   lambda p: jax.lax.associative_scan(
+                       G1.add, p, reverse=True, axis=0), ps)
 else:
-    t_scan = bench("suffix scan", lambda px, py, pz: msm_mod._suffix_scan(
-        G1, Point(px, py, pz)), ps.x, ps.y, ps.z)
+    ps = jax.jit(msm_mod.point_index)(points, order)
+    t_scan = bench("suffix scan (lane)", lambda p: msm_mod._suffix_scan(
+        G1, p), ps)
 
 # stage 4: full single window
-t_win = bench("full window_sum", lambda p, d: msm_mod._window_sum(G1, p, d, c),
-              points, digits0, reps=2)
+t_win = bench("full window_sum",
+              lambda p, d_, pk: msm_mod._window_sum(G1, p, d_, c, packed=pk),
+              points, digits0, packed, reps=2)
 
 # raw group-add throughput: one n-wide add
 t_add = bench("one n-wide G1.add", lambda a, b: G1.add(a, b), ps, ps, reps=5)
 print(f"\nadds/s (n-wide): {n/t_add:.3e}")
-print(f"scan ~= {t_scan/t_add:.1f} n-wide adds; expect ~{int(np.log2(K))+1 if n<=K else 14} levels/2n work")
 W = msm_mod._num_windows(FR.bits, c)
 print(f"window {t_win*1e3:.1f} ms x W={W} -> est total {t_win*W*1e3:.0f} ms "
       f"-> {n/(t_win*W):.3e} pps")
+print(f"breakdown/window: sort {t_sort*1e3:.1f} + search {t_ss*1e3:.1f} + "
+      f"gather {t_gather*1e3 if use_cm else 0:.1f} + scan {t_scan*1e3:.1f} ms")
 
 # raw field mul throughput
-a = ps.x
+a = ps.x if not use_cm else points.x
 t_mul = bench("one n-wide mont_mul", lambda x, y: fl.mont_mul(bn254.FQ, x, y),
               a, a, reps=10)
-print(f"mont_muls/s (n-wide): {n/t_mul:.3e}  -> add at 12M ~ {n/(12*t_mul):.3e} adds/s bound")
+print(f"mont_muls/s (n-wide): {n/t_mul:.3e}")

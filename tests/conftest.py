@@ -21,9 +21,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # The image's sitecustomize pre-imports jax and pins JAX_PLATFORMS to
 # the tunneled TPU backend, so env vars are too late — force CPU via
 # jax.config (backends are not initialized yet at conftest time).
+# LEGOSNARK_TEST_TPU=1 keeps the real TPU backend instead — used for
+# the recorded slow-tier run (pairing compiles are minutes on TPU vs
+# hours on this 2-CPU host). The virtual 8-device mesh tests
+# (test_sharded) are NOT in the slow tier; run them without this flag.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("LEGOSNARK_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import legosnark_tpu.config  # noqa: E402,F401  (enables XLA compile cache)
 

@@ -125,6 +125,46 @@ def test_msm_column_major_path_matches_legacy(monkeypatch):
     assert a == bb and a is not None
 
 
+def test_msm_affine_path_matches(monkeypatch):
+    """`points_affine=True` (z plane dropped from transport) after
+    `to_affine_batch` vs the projective path, on the column-major
+    layout; includes a zero scalar + an identity point with zero
+    scalar (the padding contract)."""
+    import jax
+    import jax.numpy as jnp
+    from legosnark_tpu.curve.group import to_affine_batch
+
+    n = 128
+    rng2 = np.random.default_rng(37)
+    vals = [int.from_bytes(rng2.bytes(40), "little") % bn254.R
+            for _ in range(n)]
+    vals[0] = 0
+    vals[5] = 0
+    pts_o = [oracle.g1_mul(oracle.G1, k + 9) for k in range(n)]
+    pts_o[5] = None  # identity point, zero scalar
+    pts = g1_from_oracle(pts_o)
+    scalars = fr_canonical(vals)
+
+    monkeypatch.setattr(msm_mod, "_SCAN_LANES", 16)
+    ref = g1_to_oracle(jax.jit(
+        lambda p, s: msm_mod.msm(G1, p, s, c=4))(pts, scalars))
+    aff = jax.jit(lambda p: to_affine_batch(G1, p))(pts)
+    # affine z planes must be one-hot {0, 1}
+    zvals = np.asarray(fl.from_mont(bn254.FQ, aff.z))
+    ints = [fl.limbs_to_int(zvals[:, i]) for i in range(n)]
+    assert set(ints) <= {0, 1} and ints[5] == 0
+    got = g1_to_oracle(jax.jit(
+        lambda p, s: msm_mod.msm(G1, p, s, c=4, points_affine=True))(
+        aff, scalars))
+    assert got == ref and got is not None
+    # small-n (lane-scan) fallback too
+    monkeypatch.setattr(msm_mod, "_SCAN_LANES", 1 << 20)
+    got2 = g1_to_oracle(jax.jit(
+        lambda p, s: msm_mod.msm(G1, p, s, c=5, points_affine=True))(
+        aff, scalars))
+    assert got2 == ref
+
+
 def test_msm_split_gather_path_matches(monkeypatch):
     """The large-batch window variant (per-coord packed gathers,
     n > _FUSE_GATHER_MAX) against the fused variant."""

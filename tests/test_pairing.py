@@ -41,22 +41,26 @@ def setup_pairs(n):
 
 
 def test_miller_and_pairing_match_oracle():
+    # 2 real pairs padded to the production 4-lane width so this test
+    # exercises (and pre-warms) the SAME compiled miller/final-exp
+    # graphs every eager verifier uses (pairing.miller_jit /
+    # final_exp_jit — see the decomposition note in curve/pairing.py)
     ps, qs = setup_pairs(2)
-    p_dev = g1_from_oracle(ps)
-    q_dev = g2_from_oracle(qs)
+    p_dev = g1_from_oracle(ps + ps)
+    q_dev = g2_from_oracle(qs + qs)
 
-    px, py, _ = jax.jit(pr.g1_affine)(p_dev)
-    qx, qy, _ = jax.jit(pr.g2_affine)(q_dev)
+    px, py, _ = pr._g1aff_jit(p_dev)
+    qx, qy, _ = pr._g2aff_jit(q_dev)
 
-    ml = jax.jit(pr.miller_loop)(px, py, qx, qy)
-    full = jax.jit(pr.pairing)(px, py, qx, qy)
+    ml = pr.miller_jit(px, py, qx, qy)
 
     for i in range(2):
         exp_ml = oracle.miller_loop(
             oracle.untwist(qs[i]),
             (oracle.f12_from_fq(ps[i][0]), oracle.f12_from_fq(ps[i][1])))
         assert f12_to_oracle(ml[..., i]) == exp_ml
-        assert f12_to_oracle(full[..., i]) == oracle.final_exp(exp_ml)
+        full_i = pr.final_exp_jit(ml[..., i : i + 1])
+        assert f12_to_oracle(full_i[..., 0]) == oracle.final_exp(exp_ml)
 
 
 def test_pairing_bilinearity_on_device():
@@ -65,13 +69,14 @@ def test_pairing_bilinearity_on_device():
     p2 = oracle.g1_mul(p, 2)
     q2 = oracle.g2_mul(q, 2)
 
-    p_dev = g1_from_oracle([p, p2, p])
-    q_dev = g2_from_oracle([q, q, q2])
-    px, py, _ = jax.jit(pr.g1_affine)(p_dev)
-    qx, qy, _ = jax.jit(pr.g2_affine)(q_dev)
-    e = jax.jit(pr.pairing)(px, py, qx, qy)
+    p_dev = g1_from_oracle([p, p2, p, p])
+    q_dev = g2_from_oracle([q, q, q2, q])
+    px, py, _ = pr._g1aff_jit(p_dev)
+    qx, qy, _ = pr._g2aff_jit(q_dev)
+    ml = pr.miller_jit(px, py, qx, qy)
+    e = [pr.final_exp_jit(ml[..., i : i + 1])[..., 0] for i in range(3)]
 
-    e_pq, e_2pq, e_p2q = (f12_to_oracle(e[..., i]) for i in range(3))
+    e_pq, e_2pq, e_p2q = (f12_to_oracle(e[i]) for i in range(3))
     sq = oracle.f12_mul(e_pq, e_pq)
     assert e_2pq == sq
     assert e_p2q == sq
@@ -87,10 +92,9 @@ def test_simple_pairing_check():
     b2_good = g2_from_oracle([oracle.g2_mul(q, 2)])
     b2_bad = g2_from_oracle([oracle.g2_mul(q, 3)])
 
-    one = lambda pt: pt  # [L, 1] batches are already single points
-    check = jax.jit(pr.simple_pairing_check)
-    assert bool(check(one(a1), one(a2), one(b1), one(b2_good)))
-    assert not bool(check(one(a1), one(a2), one(b1), one(b2_bad)))
+    # EAGER: routes through the decomposed shared pairing graphs
+    assert bool(pr.simple_pairing_check(a1, a2, b1, b2_good))
+    assert not bool(pr.simple_pairing_check(a1, a2, b1, b2_bad))
 
 
 def test_pairing_with_identity_masked():
@@ -99,4 +103,4 @@ def test_pairing_with_identity_masked():
     p, q = ps[0], qs[0]
     p_dev = g1_from_oracle([p, None, oracle.g1_neg(p)])
     q_dev = g2_from_oracle([q, q, q])
-    assert bool(jax.jit(pr.pairing_product_is_one)(p_dev, q_dev))
+    assert bool(pr.pairing_product_is_one(p_dev, q_dev))
