@@ -226,6 +226,32 @@ class CurveOps:
         return p
 
 
+def _scan_prod(F, v, reverse: bool):
+    """Inclusive prefix (or suffix) products over the lane axis,
+    COLUMN-MAJOR for wide batches: a lane-axis associative_scan at
+    2^18+ lanes hangs the tunneled TPU lowering, so wide inputs reshape
+    to [w, .., L, G] blocks and scan the short leading axis (the same
+    layout trick as curve/msm._window_sum), recursing on the G block
+    totals."""
+    n = v.shape[-1]
+    w = 1024
+    if n % w or n // w < 2:
+        return jax.lax.associative_scan(F.mul, v, axis=v.ndim - 1,
+                                        reverse=reverse)
+    G = n // w
+    b = jnp.moveaxis(v.reshape(v.shape[:-1] + (G, w)), -1, 0)
+    intra = jax.lax.associative_scan(F.mul, b, axis=0, reverse=reverse)
+    tot = intra[0] if reverse else intra[-1]           # [.., L, G]
+    totp = _scan_prod(F, tot, reverse)
+    one = jnp.broadcast_to(F.one(()), tot.shape[:-1] + (1,))
+    if reverse:
+        excl = jnp.concatenate([totp[..., 1:], one], axis=-1)
+    else:
+        excl = jnp.concatenate([one, totp[..., :-1]], axis=-1)
+    out = F.mul(intra, excl)
+    return jnp.moveaxis(out, 0, -1).reshape(v.shape)
+
+
 def to_affine_batch(C: CurveOps, p: Point) -> Point:
     """Normalize a point batch to z in {0, 1}: (x/z, y/z, 1), identity
     kept as (0, 1, 0). ONE field inversion for the whole batch via the
@@ -238,9 +264,8 @@ def to_affine_batch(C: CurveOps, p: Point) -> Point:
     shape = F.batch_shape(p.z)
     one = F.bcast(F.one(()), shape)
     zsafe = F.select(is_id, one, p.z)
-    ax = zsafe.ndim - 1
-    pref = jax.lax.associative_scan(F.mul, zsafe, axis=ax)
-    suf = jax.lax.associative_scan(F.mul, zsafe, axis=ax, reverse=True)
+    pref = _scan_prod(F, zsafe, reverse=False)
+    suf = _scan_prod(F, zsafe, reverse=True)
     tinv = F.inv(pref[..., -1:])
     pref_m1 = jnp.concatenate([one[..., :1], pref[..., :-1]], axis=-1)
     suf_p1 = jnp.concatenate([suf[..., 1:], one[..., :1]], axis=-1)

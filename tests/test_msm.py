@@ -192,3 +192,28 @@ def test_msm_split_gather_path_matches(monkeypatch):
     b = g1_to_oracle(jax.jit(
         lambda p, s: msm_mod.msm(G1, p, s, c=5))(pts, scalars))
     assert a == b and a is not None
+
+
+def test_to_affine_batch_column_major():
+    """Wide-batch (column-major recursive scan) normalization equals
+    the original points projectively; z planes one-hot."""
+    import jax
+    import jax.numpy as jnp
+    from legosnark_tpu.curve.group import to_affine_batch, g1_generator, Point
+
+    n = 4096
+    rng3 = np.random.default_rng(41)
+    # distinct projective points via repeated doubling of shifted gens
+    base = rand_g1_points(16)
+    pts = g1_from_oracle([base[i % 16] for i in range(n)])
+    # scale z arbitrarily: multiply coords by a random field element
+    from legosnark_tpu.fields import limb as fl2
+    sc = jnp.asarray(bn254.FQ.to_mont_ints(
+        [int(rng3.integers(1, 1 << 60)) for _ in range(n)]))
+    pts = Point(*(fl.mont_mul(bn254.FQ, c, sc) for c in pts))
+    aff = jax.jit(lambda p: to_affine_batch(G1, p))(pts)
+    zv = np.asarray(fl.from_mont(bn254.FQ, aff.z))
+    ints = {fl.limbs_to_int(zv[:, i]) for i in range(0, n, 257)}
+    assert ints <= {0, 1}
+    eq = jax.jit(G1.eq)(pts, aff)
+    assert bool(np.all(np.asarray(eq)))
