@@ -49,8 +49,12 @@ def emit(config, phase, seconds, extra=None):
 
 
 def _sync(x):
+    """Sync EVERY leaf (the first leaf can be a pass-through input —
+    e.g. a proof's challenge field — which would stop the clock before
+    the async MSM work lands), then force a host copy of the last."""
     import jax
-    return np.asarray(jax.tree_util.tree_leaves(x)[0])
+    jax.block_until_ready(x)
+    return np.asarray(jax.tree_util.tree_leaves(x)[-1])
 
 
 def _timed(fn):
