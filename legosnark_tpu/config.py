@@ -45,4 +45,7 @@ def default_window(n: int) -> int:
         # the 2^16-1 bucket-boundary gather+tree amortizes only from
         # ~2^18 up (round-4 advisor follow-up)
         return 13
-    return 16
+    # signed-digit recoding (msm._signed_digits) makes c=17 cost the
+    # boundary phase of an unsigned c=16 window with one window fewer
+    # (15 vs 16 for 254-bit scalars)
+    return 17

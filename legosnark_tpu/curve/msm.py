@@ -64,6 +64,30 @@ def _all_digits(spec: fl.FieldSpec, scalars, c: int):
     return jnp.stack(cols, axis=0)
 
 
+def _signed_digits(digits, c: int):
+    """Unsigned base-2^c digits [W, n] -> signed-magnitude form
+    (mag [W, n] in [0, 2^(c-1)], neg [W, n] bool) with digit value
+    (-1)^neg * mag. Standard wNAF-style recoding: a digit above
+    2^(c-1) becomes -(2^c - d) plus a carry into the next window.
+    Negating a curve point is one field negation (y -> -y), so the
+    bucket range HALVES: the Pippenger boundary phase runs over
+    2^(c-1) buckets instead of 2^c-1, letting c grow one bit (fewer
+    windows) at no boundary cost. Requires bits <= c*W - 1 so the
+    final carry is absorbed by the top window (checked by the caller).
+    """
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros(digits.shape[1:], jnp.uint32)
+    for j in range(digits.shape[0]):
+        d = digits[j] + carry
+        neg = d > half
+        mags.append(jnp.where(neg, full - d, d))
+        negs.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(mags), jnp.stack(negs)
+
+
 def _pack16(a):
     """Pack limb pairs (k, k+L/2) into one u32 word: [..., L, V] ->
     [..., L/2, V]. Loose limbs are < 2^16, and the halves are
@@ -97,26 +121,36 @@ _FUSE_GATHER_MAX = int(os.environ.get("LEGOSNARK_MSM_FUSE_GATHER",
                                       str(1 << 18)))
 
 
-def _joint_sort_boundaries(d, c: int):
-    """ONE argsort serving both the by-digit point permutation and the
-    2^c-1 bucket-boundary positions (replaces argsort + a sort-based
+def _joint_sort_boundaries(d, tcount: int, payload=None):
+    """ONE sort serving both the by-digit point permutation and the
+    `tcount` bucket-boundary positions (replaces argsort + a sort-based
     searchsorted — the searchsorted was a second full sort's worth of
     time per window). Point i gets key 2*d_i+1, query t gets key 2*t;
     in the joint order, query t lands exactly at (#points with digit
-    < t) + (t-1), so idx[t-1] = joint_pos(t) - (t-1). The sort is
-    stable, so the point sub-permutation equals argsort(d).
-    Returns (order [n], idx [2^c-1])."""
+    < t) + (t-1), so idx[t-1] = joint_pos(t) - (t-1). Queries are
+    identified by key parity, so no stability is required (bucket sums
+    are order-independent within a digit).
+
+    `payload` ([n] u32, default iota): co-sorted value returned as
+    `order` — signed-digit windows pass 2*i + sign_i here so the
+    transport gather indexes a doubled ±P table with NO extra
+    per-window sign gather (the sort already moves an index payload;
+    repurposing it is free).
+    Returns (order [n], idx [tcount]); digits must lie in [0, tcount]."""
     n = d.shape[0]
-    tcount = (1 << c) - 1
     keys = jnp.concatenate([
         d.astype(jnp.uint32) * 2 + 1,
-        jnp.arange(1, 1 << c, dtype=jnp.uint32) * 2])
-    order_j = jnp.argsort(keys)
-    isq = order_j >= n
+        jnp.arange(1, tcount + 1, dtype=jnp.uint32) * 2])
+    if payload is None:
+        payload = jnp.arange(n, dtype=jnp.uint32)
+    pq = jnp.concatenate(
+        [payload.astype(jnp.uint32), jnp.zeros(tcount, jnp.uint32)])
+    skeys, spay = jax.lax.sort((keys, pq), num_keys=1, is_stable=False)
+    isq = skeys % 2 == 0
     qpos = jnp.nonzero(isq, size=tcount)[0]
     idx = qpos - jnp.arange(tcount, dtype=qpos.dtype)
     ppos = jnp.nonzero(jnp.logical_not(isq), size=n)[0]
-    order = order_j[ppos]
+    order = spay[ppos]
     return order, idx
 
 
@@ -127,6 +161,10 @@ def _gathered_packed(points: Point, packed, order, G: int, w: int,
     ('percoord', [arrs])."""
     idx2d = jnp.transpose(order.reshape(w, G))              # [G, w]
     kind, data = packed
+    if kind in ("pointmajor", "pointmajor2"):
+        g = jnp.take(data, idx2d, axis=0)                   # [G, w, C*h]
+        g = jnp.swapaxes(g, -1, -2)                         # [G, C*h, w]
+        return [g[..., i * h : (i + 1) * h, :] for i in range(ncoord)]
     if kind == "fused":
         g = jnp.moveaxis(jnp.take(data, idx2d, axis=-1), -2, 0)
         return [g[..., i * h : (i + 1) * h, :] for i in range(ncoord)]
@@ -135,8 +173,15 @@ def _gathered_packed(points: Point, packed, order, G: int, w: int,
 
 
 def _window_sum(C: CurveOps, points: Point, d, c: int,
-                packed=None, affine: bool = False) -> Point:
+                packed=None, affine: bool = False,
+                neg=None, dmax: int | None = None) -> Point:
     """Sum_i d_i * P_i for digits d in [0, 2^c) — one Pippenger window.
+
+    `neg` ([n] bool, optional): signed-digit mode — point i contributes
+    with sign (-1)^neg_i (y negated after the per-window gather, one
+    field negation). `dmax` overrides the max digit value (inclusive);
+    signed windows pass 2^(c-1) so the boundary phase runs over half
+    the buckets.
 
     Sort-by-digit + suffix-sum identity: sum_b b*B_b = sum_{t=1}^{2^c-1}
     (sum of points with digit >= t). The suffix sums run COLUMN-MAJOR:
@@ -154,8 +199,14 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
     gathered — 1/3 less transport.
     """
     n = d.shape[0]
-    order, idx = _joint_sort_boundaries(d, c)
-    tcount = (1 << c) - 1
+    tcount = dmax if dmax is not None else (1 << c) - 1
+    table_signed = (neg is not None and packed is not None
+                    and packed[0] == "pointmajor2")
+    payload = None
+    if table_signed:
+        payload = (jnp.arange(n, dtype=jnp.uint32) * 2
+                   + neg.astype(jnp.uint32))
+    order, idx = _joint_sort_boundaries(d, tcount, payload)
     safe = jnp.minimum(idx, n - 1)
 
     w = _SCAN_LANES
@@ -165,6 +216,8 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
         ps = point_index(points, order)
         if affine:
             ps = Point(ps.x, ps.y, _ones_like_coord(C, ps.x))
+        if neg is not None:
+            ps = C.select(neg[order], C.neg(ps), ps)
         suf = _suffix_scan(C, ps)
         q = point_index(suf, safe)
     else:
@@ -172,9 +225,20 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
         h = -(-L // 2)
         ncoord = 2 if affine else 3
         if packed is None:
-            packed = _pack_points(points, n, affine)
+            # standalone call: unsigned table; an explicit `neg` is
+            # handled by the sign-select fallback below
+            packed = _pack_points(C, points, n, affine)
         gs = _gathered_packed(points, packed, order, G, w, ncoord, h, L)
         coords = [_unpack16(g, L) for g in gs]              # [G,..,L,w]
+        if neg is not None and not table_signed:
+            # non-pointmajor fallback (G2): explicit sign gather+select.
+            # Costs a full per-window index gather — the pointmajor2
+            # doubled-table path above avoids it entirely.
+            sgn2d = neg[jnp.transpose(order.reshape(w, G))]  # [G, w]
+            # fl.select takes cond [..., V] vs coords [G, .., L, w]:
+            # unit axes between G and w cover any point-batch dims (G2)
+            cond = sgn2d[:, *([None] * (coords[1].ndim - 3)), :]
+            coords[1] = C.F.select(cond, C.F.neg(coords[1]), coords[1])
         if affine:
             coords.append(_ones_like_coord(C, coords[0]))
         ps = Point(*coords)
@@ -211,6 +275,9 @@ def _window_sum(C: CurveOps, points: Point, d, c: int,
             jnp.moveaxis(g, 0, -2).reshape(g.shape[1:-2] + (h, n)),
             flat_ix, axis=-1) for g in gs]
         exc = [_unpack16(e, L) for e in ex]
+        if neg is not None and not table_signed:
+            sgn_at = sgn2d.reshape(-1)[flat_ix]             # [tcount]
+            exc[1] = C.F.select(sgn_at, C.F.neg(exc[1]), exc[1])
         if affine:
             exc.append(_ones_like_coord(C, exc[0]))
         extra = C.select(r % 2 == 1, Point(*exc), C.identity((tcount,)))
@@ -226,10 +293,36 @@ def _ones_like_coord(C: CurveOps, x):
     return jnp.broadcast_to(one, x.shape[:-2] + one.shape[-2:-1] + x.shape[-1:])
 
 
-def _pack_points(points: Point, n: int, affine: bool):
-    """Shared packed transport coords for all windows' gathers."""
+def _pack_points(C: CurveOps, points: Point, n: int, affine: bool,
+                 signed: bool = False):
+    """Shared packed transport coords for all windows' gathers.
+
+    Default ("auto") layout for plain [L, n] coords (G1) is POINT-MAJOR
+    fused: one [n, ncoord*h] array, so each gathered point reads
+    ncoord*h CONTIGUOUS u32 words instead of ncoord*h rows strided 4n
+    bytes apart in HBM. Measured at 2^20 (scripts/probe_gather.py):
+    35.5ms vs 42.1ms per window for the lane-axis per-coord gather.
+    Override with LEGOSNARK_MSM_TRANSPORT=fused|percoord|pointmajor.
+
+    signed=True (point-major only): the table holds BOTH signs
+    interleaved — row 2i is P_i, row 2i+1 is -P_i — so signed-digit
+    windows gather index 2i+sign directly (sign resolved by the sort
+    payload, zero per-window cost). Built once per MSM; one field
+    negation + a 2x HBM copy."""
     coords = [points.x, points.y] if affine else list(points)
-    if n <= _FUSE_GATHER_MAX:
+    mode = os.environ.get("LEGOSNARK_MSM_TRANSPORT", "auto")
+    if mode in ("pointmajor", "auto") and coords[0].ndim == 2:
+        pm = jnp.concatenate([jnp.transpose(_pack16(a))
+                              for a in coords], axis=-1)      # [n, C*h]
+        if not signed:
+            return ("pointmajor", pm)
+        ncoords = list(coords)
+        ncoords[1] = C.F.neg(coords[1])
+        nm = jnp.concatenate([jnp.transpose(_pack16(a))
+                              for a in ncoords], axis=-1)
+        return ("pointmajor2",
+                jnp.stack([pm, nm], axis=1).reshape(2 * n, pm.shape[-1]))
+    if mode != "percoord" and (n <= _FUSE_GATHER_MAX or mode == "fused"):
         return ("fused",
                 jnp.concatenate([_pack16(a) for a in coords], axis=-2))
     return ("percoord", [_pack16(a) for a in coords])
@@ -278,25 +371,37 @@ def msm(C: CurveOps, points: Point, scalars, c: int | None = None,
     """
     if c is None:
         from .. import config
-        import os
         env = os.environ.get("LEGOSNARK_MSM_C")
         c = int(env) if env else config.default_window(scalars.shape[-1])
     assert 1 <= c <= 32 - fl.LIMB_BITS  # get_window shift bound
     n = scalars.shape[-1]
     digits = _all_digits(fr_spec, scalars, c)  # [W, n]
     W = digits.shape[0]
+    # signed-digit recoding (default on): halves the bucket range so
+    # the boundary phase costs what an UNSIGNED (c-1)-bit window pays,
+    # making c = 17 (15 windows) the 2^20 sweet spot instead of c = 16
+    # (16 windows). Requires the top window to absorb the final carry.
+    use_signed = (os.environ.get("LEGOSNARK_MSM_SIGNED", "1") != "0"
+                  and fr_spec.bits <= c * W - 1)
 
     # all windows batched (mapped in memory-bounded chunks): the sorts,
     # scans and bucket trees run n-wide; transport coords are packed
     # once (two 16-bit limb halves per word) for all windows' gathers
     G = n // _SCAN_LANES if n % _SCAN_LANES == 0 else 0
     use_cm = G >= 8 and G % 2 == 0
-    packed = _pack_points(points, n, points_affine) if use_cm else None
+    packed = (_pack_points(C, points, n, points_affine, signed=use_signed)
+              if use_cm else None)
     window_fn = functools.partial(_window_sum, C, points, c=c,
                                   packed=packed, affine=points_affine)
     chunk = _window_chunk(n, W)
-    S = jax.lax.map(window_fn, digits,
-                    batch_size=None if chunk == 1 else chunk)
+    if use_signed:
+        mags, negs = _signed_digits(digits, c)
+        S = jax.lax.map(
+            lambda mn: window_fn(mn[0], neg=mn[1], dmax=1 << (c - 1)),
+            (mags, negs), batch_size=None if chunk == 1 else chunk)
+    else:
+        S = jax.lax.map(window_fn, digits,
+                        batch_size=None if chunk == 1 else chunk)
     # S: Point with coords [W, L, 1]
 
     # Horner combine from the most significant window down:
